@@ -1,0 +1,23 @@
+"""TPU-native stereo point+line SLAM engine (GF-PL-SLAM capabilities, built from scratch).
+
+A brand-new JAX/XLA/Pallas implementation of good-line-cutting stereo PL-SLAM:
+ORB point + LSD/LBD line front-end as batched device kernels, robust pose-only
+Gauss-Newton, information-maximizing line cutting, sliding-window local bundle
+adjustment via Schur complement, bag-of-words loop closure with SE(3) pose-graph
+optimization, and multi-host distributed BA over a `jax.sharding.Mesh`.
+
+Reference capability map: see SURVEY.md at the repo root. Individual modules cite
+the reference files (file:line) whose behavior they provide.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# Geometry/solver numerics require true fp32 matmuls. On TPU the default
+# matmul precision is bfloat16-grade, which is catastrophic for 6x6 Hessian
+# algebra (observed: 1e-2 error in a 3x3 product). Image-plane kernels that
+# can tolerate bf16 opt in explicitly via preferred_element_type/precision.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from gfplslam_tpu.config import Config, default_config  # noqa: F401

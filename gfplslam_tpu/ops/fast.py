@@ -1,0 +1,115 @@
+"""FAST corner detection as a fully-vectorized XLA program.
+
+Replaces the reference's per-cell OpenCV FAST with high/low threshold fallback
+(ORBextractor.cc:809-941) and the quadtree distribution ``DistributeOctTree``
+(ORBextractor.cc:539-765). TPU-native design: the segment test for every pixel
+at once via 16 shifted image copies and a windowed-min arc score, 3x3
+non-maximum suppression, then per-cell top-k + global top-k to reproduce the
+quadtree's spatial spreading with static shapes.
+
+Score definition: ``max over the 16 circular 9-windows of min(|diff| - t)``
+over fully-bright (or fully-dark) windows — positive iff the pixel passes the
+FAST-9 segment test; equals the classic "max threshold still a corner" V-score
+up to the arc-min approximation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3, clockwise from (0,-3): (dx, dy) pairs.
+FAST_CIRCLE = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], dtype=np.int32)
+
+ARC_LEN = 9  # FAST-9
+
+
+def fast_score_map(img: jax.Array, threshold: jax.Array) -> jax.Array:
+    """Per-pixel FAST-9 corner score (0 where not a corner). [H, W] float32.
+
+    ``threshold`` may be a traced scalar — the adaptive-FAST loop
+    (stereoFrameHandler.cpp:864-922) retunes it at runtime without recompiling.
+    """
+    h, w = img.shape
+    t = jnp.asarray(threshold, img.dtype)
+    # 16 shifted copies: d[k] = I(p + c_k) - I(p)
+    shifted = [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1))
+               for dx, dy in FAST_CIRCLE]
+    d = jnp.stack(shifted) - img[None]
+    # windowed min over 9 consecutive circle entries (circular)
+    db = jnp.where(d > t, d - t, -jnp.inf)       # bright margin
+    dd = jnp.where(d < -t, -d - t, -jnp.inf)     # dark margin
+    def arc_score(x):
+        xx = jnp.concatenate([x, x[:ARC_LEN - 1]], axis=0)  # circular extension
+        wmin = jax.lax.reduce_window(
+            xx, jnp.inf, jax.lax.min, (ARC_LEN, 1, 1), (1, 1, 1), "valid")
+        return jnp.max(wmin, axis=0)
+    score = jnp.maximum(arc_score(db), arc_score(dd))
+    score = jnp.where(jnp.isfinite(score), score, 0.0)
+    score = jnp.maximum(score, 0.0)
+    # kill the 3px border where rolls wrap
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    valid = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(valid, score, 0.0)
+
+
+def nms3(score: jax.Array) -> jax.Array:
+    """3x3 non-maximum suppression; keeps strict local maxima."""
+    mx = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    return jnp.where((score >= mx) & (score > 0), score, 0.0)
+
+
+class Keypoints(NamedTuple):
+    """Padded keypoint set for one image level (or merged levels)."""
+    xy: jax.Array      # [N, 2] float32, level-0 (full-res) coordinates
+    level: jax.Array   # [N] int32 pyramid octave
+    score: jax.Array   # [N] float32 response
+    valid: jax.Array   # [N] bool
+
+
+@partial(jax.jit, static_argnames=("n_out", "cell", "per_cell", "border"))
+def select_keypoints(score: jax.Array, n_out: int, cell: int = 32,
+                     per_cell: int = 4, border: int = 19) -> Keypoints:
+    """NMS + per-cell top-k + global top-k (quadtree-distribution equivalent,
+    ORBextractor.cc:539-765). Returns exactly ``n_out`` padded keypoints in
+    this level's pixel coordinates."""
+    h, w = score.shape
+    s = nms3(score)
+    # mask detector border (edge_th, config.cpp:138)
+    yy = jnp.arange(h)[:, None]
+    xx = jnp.arange(w)[None, :]
+    inside = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+    s = jnp.where(inside, s, 0.0)
+    # pad to multiples of cell
+    ph = -(-h // cell) * cell
+    pw = -(-w // cell) * cell
+    s = jnp.pad(s, ((0, ph - h), (0, pw - w)))
+    gh, gw = ph // cell, pw // cell
+    cells = s.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
+    top_s, top_i = jax.lax.top_k(cells, per_cell)          # [gh*gw, per_cell]
+    # cell-local index -> global pixel coords
+    ci = jnp.arange(gh * gw)[:, None]
+    cy = (ci // gw) * cell + top_i // cell
+    cx = (ci % gw) * cell + top_i % cell
+    flat_s = top_s.reshape(-1)
+    flat_y = cy.reshape(-1)
+    flat_x = cx.reshape(-1)
+    k = min(n_out, flat_s.shape[0])
+    sel_s, sel_i = jax.lax.top_k(flat_s, k)
+    pad = n_out - k
+    xy = jnp.stack([flat_x[sel_i], flat_y[sel_i]], axis=-1).astype(jnp.float32)
+    out_s = sel_s
+    if pad > 0:
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        out_s = jnp.pad(out_s, (0, pad))
+    return Keypoints(xy=xy, level=jnp.zeros(n_out, jnp.int32), score=out_s,
+                     valid=out_s > 0)

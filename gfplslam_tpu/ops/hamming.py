@@ -1,0 +1,43 @@
+"""Batched Hamming-distance matrices for binary descriptors.
+
+The reference computes Hamming distances pairwise inside BFMatcher loops and a
+hand-rolled popcount (stereoFrame.h:185-201). Here the whole N x M distance
+matrix is one device program: XOR-broadcast + ``lax.population_count``, with a
+Pallas TPU kernel (`ops/pallas/hamming_pl.py`) for the tiled production path
+and this XLA reference path for CPU tests and autodiff-free fallback.
+
+Descriptors: [N, W] uint32 (W=8 words = 256 bits). Invalid rows are masked by
+setting their distances to ``BIG``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.uint32(1 << 16)  # > max possible distance (256)
+
+
+def hamming_matrix_xla(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[N, W] x [M, W] uint32 -> [N, M] uint32 Hamming distances."""
+    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1, dtype=jnp.uint32)
+
+
+def hamming_matrix(a: jax.Array, b: jax.Array,
+                   valid_a: jax.Array | None = None,
+                   valid_b: jax.Array | None = None,
+                   use_pallas: bool = False) -> jax.Array:
+    """Masked Hamming distance matrix; invalid rows/cols get BIG."""
+    if use_pallas:
+        from gfplslam_tpu.ops.pallas.hamming_pl import hamming_matrix_pallas
+        d = hamming_matrix_pallas(a, b)
+    else:
+        d = hamming_matrix_xla(a, b)
+    if valid_a is not None:
+        d = jnp.where(valid_a[:, None], d, BIG)
+    if valid_b is not None:
+        d = jnp.where(valid_b[None, :], d, BIG)
+    return d

@@ -1,0 +1,58 @@
+"""Pallas TPU kernel: tiled Hamming-distance matrix over uint32 descriptors.
+
+The hot matching op of the front-end (stereo L-R and cross-frame candidate
+scoring — stereoFrame.cpp:534-557, stereoFrameHandler.cpp:477-599 in the
+reference, where it is a BFMatcher loop). Tiling: 256-row blocks of ``a``
+against the full ``b`` panel held in VMEM; XOR + popcount on the VPU,
+accumulate over descriptor words.
+
+Falls back to the XLA path automatically for shapes that don't tile (see
+``hamming.hamming_matrix``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 256
+
+
+def _hamming_kernel(a_ref, b_ref, out_ref):
+    # a_ref: [TILE_N, W] uint32; b_ref: [M, W] uint32; out: [TILE_N, M] int32
+    a = a_ref[:]
+    b = b_ref[:]
+    w = a.shape[1]
+    acc = jnp.zeros((a.shape[0], b.shape[0]), jnp.int32)
+    for k in range(w):  # static unroll over descriptor words
+        x = jnp.bitwise_xor(a[:, k][:, None], b[:, k][None, :])
+        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
+    out_ref[:] = acc
+
+
+@partial(jax.jit, static_argnames=())
+def hamming_matrix_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[N, W] x [M, W] uint32 -> [N, M] uint32; N must be a multiple of 256
+    (capacities in CapacityParams are)."""
+    n, w = a.shape
+    m = b.shape[0]
+    if n % TILE_N != 0:
+        from gfplslam_tpu.ops.hamming import hamming_matrix_xla
+        return hamming_matrix_xla(a, b)
+    grid = (n // TILE_N,)
+    out = pl.pallas_call(
+        _hamming_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.int32),
+    )(a, b)
+    return out.astype(jnp.uint32)
