@@ -1,0 +1,370 @@
+"""Per-frame stereo front-end: detection, stereo matching, triangulation.
+
+Capability parity with ``StereoFrame`` (stereoFrame.cpp): feature detection
+(:1019-1227), ORB-SLAM-style point stereo matching with sub-pixel refinement
+(:411-630, :340-404), line stereo matching with disparity-from-line-
+intersection and overlap/horizontality/covariance gates (:632-767), and the
+per-endpoint 3D covariance model (:1375-1484).
+
+TPU-native design: the reference's 4 detection threads + per-feature loops
+become a handful of batched device programs over fixed-capacity padded
+arrays; L/R images are processed by the same vmapped kernels; candidate
+search loops become masked distance matrices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfplslam_tpu.config import Config, CameraParams
+from gfplslam_tpu.ops import fast as fast_ops
+from gfplslam_tpu.ops import lbd as lbd_ops
+from gfplslam_tpu.ops import lsd as lsd_ops
+from gfplslam_tpu.ops import orb as orb_ops
+from gfplslam_tpu.ops import camera as cam_ops
+from gfplslam_tpu.ops.hamming import hamming_matrix
+from gfplslam_tpu.ops.matching import mutual_best
+from gfplslam_tpu.ops.pyramid import build_pyramid, gaussian_blur
+from gfplslam_tpu.utils.robust import masked_median, masked_stdv_mad_nozero
+
+
+class CameraFeatures(NamedTuple):
+    """Detected features of one camera image (padded)."""
+    pt_xy: jax.Array      # [Np, 2] level-0 pixel coords
+    pt_level: jax.Array   # [Np] int32 octave
+    pt_angle: jax.Array   # [Np] float32
+    pt_desc: jax.Array    # [Np, 8] uint32
+    pt_score: jax.Array   # [Np]
+    pt_valid: jax.Array   # [Np] bool
+    ln_sp: jax.Array      # [Nl, 2]
+    ln_ep: jax.Array      # [Nl, 2]
+    ln_angle: jax.Array   # [Nl]
+    ln_desc: jax.Array    # [Nl, 8] uint32
+    ln_valid: jax.Array   # [Nl] bool
+
+
+class StereoPoints(NamedTuple):
+    """Triangulated stereo point features (left-anchored;
+    stereoFeatures.h:51-61)."""
+    xy: jax.Array       # [Np, 2] left pixel
+    disp: jax.Array     # [Np]
+    p3d: jax.Array      # [Np, 3]
+    desc: jax.Array     # [Np, 8] uint32
+    level: jax.Array    # [Np]
+    sigma2: jax.Array   # [Np]
+    valid: jax.Array    # [Np] bool
+
+
+class StereoLines(NamedTuple):
+    """Triangulated stereo line features (stereoFeatures.h:96-129)."""
+    sp: jax.Array       # [Nl, 2] left start point
+    ep: jax.Array       # [Nl, 2]
+    sdisp: jax.Array    # [Nl]
+    edisp: jax.Array    # [Nl]
+    sp3d: jax.Array     # [Nl, 3]
+    ep3d: jax.Array     # [Nl, 3]
+    le: jax.Array       # [Nl, 3] normalized 2D line coefficients (left)
+    angle: jax.Array    # [Nl]
+    desc: jax.Array     # [Nl, 8] uint32
+    sigma2: jax.Array   # [Nl]
+    valid: jax.Array    # [Nl] bool
+    # good-line-cutting state (cut ratios set by the line cutter; defaults
+    # to the full segment, stereoFeatures.h:117-129)
+    cov_sp3d: jax.Array  # [Nl, 3, 3]
+    cov_ep3d: jax.Array  # [Nl, 3, 3]
+
+
+def _per_level_slots(n_slots: int, nlevels: int, scale: float) -> list[int]:
+    """Distribute point slots over pyramid levels like the reference
+    distributes nfeatures (ORBextractor.cc:1107 weighting by 1/scale^l)."""
+    ws = np.array([(1.0 / scale) ** l for l in range(nlevels)])
+    raw = np.floor(ws / ws.sum() * n_slots).astype(int)
+    raw[0] += n_slots - raw.sum()
+    return [int(x) for x in raw]
+
+
+def detect_camera_features(img: jax.Array, cfg: Config,
+                           fast_th: jax.Array) -> CameraFeatures:
+    """Points (all pyramid levels) + lines for one camera image.
+
+    Replaces detectFeatures/detectPointFeatures/detectLineFeatures
+    (stereoFrame.cpp:1019-1227); runs as straight-line XLA (the reference's
+    point/line threads become compiler-scheduled independent subgraphs).
+    """
+    cap = cfg.cap
+    orb_cfg = cfg.orb
+    levels = build_pyramid(img, orb_cfg.nlevels, orb_cfg.scale_factor)
+    slots = _per_level_slots(cap.n_pt, orb_cfg.nlevels, orb_cfg.scale_factor)
+
+    xs, lvls, angs, descs, scores, valids = [], [], [], [], [], []
+    for li, (lv_img, n_slot) in enumerate(zip(levels, slots)):
+        score = fast_ops.fast_score_map(lv_img, fast_th)
+        kp = fast_ops.select_keypoints(
+            score, n_out=n_slot, cell=orb_cfg.grid_cell,
+            per_cell=4, border=orb_cfg.edge_th)
+        blur = gaussian_blur(lv_img)
+        ang = orb_ops.ic_angles(blur, kp.xy)
+        desc = orb_ops.brief_descriptors(blur, kp.xy, ang)
+        scale = orb_cfg.scale_factor ** li
+        xs.append(kp.xy * scale)
+        lvls.append(jnp.full(n_slot, li, jnp.int32))
+        angs.append(ang)
+        descs.append(desc)
+        scores.append(kp.score)
+        valids.append(kp.valid)
+
+    lines = lsd_ops.detect_lines(
+        img, n_out=cfg.cap.n_ln,
+        ang_th_deg=cfg.lsd.ang_th, quant=cfg.lsd.quant,
+        min_rel_length=cfg.tracking.min_line_length)
+    ln_desc, _ = lbd_ops.lbd_descriptors(img, lines.sp, lines.ep)
+
+    return CameraFeatures(
+        pt_xy=jnp.concatenate(xs), pt_level=jnp.concatenate(lvls),
+        pt_angle=jnp.concatenate(angs), pt_desc=jnp.concatenate(descs),
+        pt_score=jnp.concatenate(scores), pt_valid=jnp.concatenate(valids),
+        ln_sp=lines.sp, ln_ep=lines.ep, ln_angle=lines.angle,
+        ln_desc=ln_desc, ln_valid=lines.valid)
+
+
+def _subpixel_refine(levels: Sequence[jax.Array], scale_factor: float,
+                     xy_l: jax.Array, level_l: jax.Array, u_r0: jax.Array,
+                     win: int = 5, search: int = 5):
+    """Batched SAD parabola refinement of the right-image column
+    (subPixelStereoRefine_ORBSLAM, stereoFrame.cpp:340-404). Operates on the
+    left/right pyramid pair at each point's octave. Returns refined level-0
+    right u coordinate, and a validity flag."""
+    img_l_levels = levels[0]
+    img_r_levels = levels[1]
+    nlv = len(img_l_levels)
+
+    def one(xy, lvl, ur0):
+        def at_level(li):
+            il = img_l_levels[li]
+            ir = img_r_levels[li]
+            s = np.float32(scale_factor ** li)
+            ul = xy[0] / s
+            vl = xy[1] / s
+            ur = ur0 / s
+            h, w = il.shape
+            dy = jnp.arange(-win, win + 1)
+            dx = jnp.arange(-win, win + 1)
+            yi = jnp.clip(jnp.round(vl).astype(jnp.int32) + dy, 0, h - 1)
+            xi = jnp.clip(jnp.round(ul).astype(jnp.int32) + dx, 0, w - 1)
+            patch_l = il[yi[:, None], xi[None, :]]
+            patch_l = patch_l - patch_l[win, win]
+            offs = jnp.arange(-search, search + 1)
+
+            def sad(off):
+                xo = jnp.clip(jnp.round(ur).astype(jnp.int32) + off + dx, 0, w - 1)
+                patch_r = ir[yi[:, None], xo[None, :]]
+                patch_r = patch_r - patch_r[win, win]
+                return jnp.sum(jnp.abs(patch_l - patch_r))
+
+            sads = jax.vmap(sad)(offs)
+            best = jnp.argmin(sads)
+            edge = (best == 0) | (best == 2 * search)
+            bm1 = sads[jnp.clip(best - 1, 0, 2 * search)]
+            b0 = sads[best]
+            bp1 = sads[jnp.clip(best + 1, 0, 2 * search)]
+            denom = jnp.maximum(bm1 + bp1 - 2 * b0, 1e-6)
+            delta = jnp.clip(0.5 * (bm1 - bp1) / denom, -1.0, 1.0)
+            ur_ref = (ur + (best - search) + delta) * s
+            return ur_ref, jnp.logical_not(edge)
+
+        branches = [partial(at_level, li) for li in range(nlv)]
+        return jax.lax.switch(jnp.clip(lvl, 0, nlv - 1), branches)
+
+    return jax.vmap(one)(xy_l, level_l, u_r0)
+
+
+def stereo_match_points(cam: CameraParams, cfg: Config,
+                        feat_l: CameraFeatures, feat_r: CameraFeatures,
+                        pyr_l: Sequence[jax.Array],
+                        pyr_r: Sequence[jax.Array]) -> StereoPoints:
+    """Row-banded epipolar Hamming matching + sub-pixel refine + median gate
+    (extractStereoFeatures_ORBSLAM point block, stereoFrame.cpp:443-630)."""
+    th_orb = 80.0  # (TH_HIGH+TH_LOW)/2, :457
+    sf = cfg.orb.scale_factor
+    d = hamming_matrix(feat_l.pt_desc, feat_r.pt_desc,
+                       feat_l.pt_valid, feat_r.pt_valid).astype(jnp.float32)
+    vr = feat_r.pt_xy[:, 1][None, :]
+    vl = feat_l.pt_xy[:, 1][:, None]
+    row_r = 2.0 * sf ** feat_r.pt_level.astype(jnp.float32)[None, :]
+    row_ok = jnp.abs(vr - vl) <= row_r
+    oct_ok = jnp.abs(feat_r.pt_level[None, :] - feat_l.pt_level[:, None]) <= 1
+    ur = feat_r.pt_xy[:, 0][None, :]
+    ul = feat_l.pt_xy[:, 0][:, None]
+    max_d = cam.fx
+    disp_ok = (ur >= ul - max_d) & (ur <= ul)  # minD=0 (:489-491)
+    big = jnp.float32(1 << 16)
+    d = jnp.where(row_ok & oct_ok & disp_ok, d, big)
+    best = jnp.argmin(d, axis=1)
+    best_d = jnp.take_along_axis(d, best[:, None], axis=1)[:, 0]
+    ok = feat_l.pt_valid & (best_d < th_orb)
+
+    u_r0 = feat_r.pt_xy[best, 0]
+    u_ref, ref_ok = _subpixel_refine((pyr_l, pyr_r), sf, feat_l.pt_xy,
+                                     feat_l.pt_level, u_r0)
+    disp = feat_l.pt_xy[:, 0] - u_ref
+    disp = jnp.where(disp <= 0, 0.01, disp)  # :574-577
+    ok &= ref_ok & (disp < max_d)
+
+    # median-distance outlier trim: th = 1.5*1.4*median (:591-592)
+    med = masked_median(best_d, ok)
+    ok &= best_d < 1.5 * 1.4 * med
+
+    p3d = cam_ops.back_project_batch(cam, feat_l.pt_xy, disp)
+    return StereoPoints(xy=feat_l.pt_xy, disp=disp, p3d=p3d,
+                        desc=feat_l.pt_desc, level=feat_l.pt_level,
+                        sigma2=jnp.ones_like(disp), valid=ok)
+
+
+def _line_overlap(sy_l, ey_l, sy_r, ey_r):
+    """Vertical-interval overlap ratio (lineSegmentOverlapStereo,
+    stereoFrame.cpp:1343-1371): intersection / shorter-segment extent."""
+    lo = jnp.maximum(jnp.minimum(sy_l, ey_l), jnp.minimum(sy_r, ey_r))
+    hi = jnp.minimum(jnp.maximum(sy_l, ey_l), jnp.maximum(sy_r, ey_r))
+    inter = jnp.maximum(hi - lo, 0.0)
+    shorter = jnp.minimum(jnp.abs(ey_l - sy_l), jnp.abs(ey_r - sy_r))
+    return inter / jnp.maximum(shorter, 1e-6)
+
+
+def _endpoint_cov(cam: CameraParams, u, v, disp):
+    """Analytic 3D endpoint covariance from (u, v, disp) noise
+    (stereoFrame.cpp:706-759 closed form)."""
+    px = u - cam.cx
+    py = v - cam.cy
+    f = cam.fx
+    d2 = disp * disp
+    c = jnp.stack([
+        jnp.stack([d2 + 2 * px * px, 2 * px * py, 2 * f * px]),
+        jnp.stack([2 * px * py, d2 + 2 * py * py, 2 * f * py]),
+        jnp.stack([2 * f * px, 2 * f * py, 2 * f * f + 0 * d2]),
+    ])
+    return c * (cam.baseline ** 2) / jnp.maximum(d2 * d2, 1e-12)
+
+
+def _max_eig3(m: jax.Array) -> jax.Array:
+    """Largest eigenvalue of a symmetric 3x3 (power iteration, fixed steps)."""
+    v = jnp.ones(3, m.dtype) / jnp.sqrt(3.0)
+    def body(_, v):
+        w = m @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-12)
+    v = jax.lax.fori_loop(0, 12, body, v)
+    return v @ (m @ v)
+
+
+def stereo_match_lines(cam: CameraParams, cfg: Config,
+                       feat_l: CameraFeatures,
+                       feat_r: CameraFeatures) -> StereoLines:
+    """Mutual-best LBD matching + distinctiveness gate + geometric gates +
+    intersection disparity (line block, stereoFrame.cpp:632-767)."""
+    tr = cfg.tracking
+    d = hamming_matrix(feat_l.ln_desc, feat_r.ln_desc,
+                       feat_l.ln_valid, feat_r.ln_valid).astype(jnp.float32)
+    m = mutual_best(d)
+    # distinctiveness: (d2 - d1) must exceed MAD(d2-d1)*desc_th_l
+    # (lineDescriptorMAD nn12 path + gate at :681-683)
+    d_sorted = jnp.sort(d, axis=1)
+    gap = d_sorted[:, 1] - d_sorted[:, 0]
+    gap_th = masked_stdv_mad_nozero(gap, m.valid) * tr.desc_th_l
+    ok = m.valid & (gap > gap_th)
+
+    sp_l, ep_l = feat_l.ln_sp, feat_l.ln_ep
+    sp_r = feat_r.ln_sp[m.idx]
+    ep_r = feat_r.ln_ep[m.idx]
+
+    def line_coeffs(sp, ep):
+        s = jnp.concatenate([sp, jnp.ones_like(sp[:, :1])], axis=1)
+        e = jnp.concatenate([ep, jnp.ones_like(ep[:, :1])], axis=1)
+        le = jnp.cross(s, e)
+        n = jnp.sqrt(le[:, 0] ** 2 + le[:, 1] ** 2)
+        return le / jnp.maximum(n, 1e-9)[:, None], le
+
+    le_l, _ = line_coeffs(sp_l, ep_l)
+    _, le_r_raw = line_coeffs(sp_r, ep_r)
+
+    overlap = _line_overlap(sp_l[:, 1], ep_l[:, 1], sp_r[:, 1], ep_r[:, 1])
+    # intersect left endpoint rows with the right line (:693-696)
+    a, b2, c2 = le_r_raw[:, 0], le_r_raw[:, 1], le_r_raw[:, 2]
+    a_safe = jnp.where(jnp.abs(a) < 1e-9, 1e-9, a)
+    x_r_s = -(c2 + b2 * sp_l[:, 1]) / a_safe
+    x_r_e = -(c2 + b2 * ep_l[:, 1]) / a_safe
+    disp_s = sp_l[:, 0] - x_r_s
+    disp_e = ep_l[:, 0] - x_r_e
+
+    ok &= (disp_s >= tr.min_disp) & (disp_e >= tr.min_disp)
+    ok &= jnp.abs(le_l[:, 0]) > tr.line_horiz_th
+    ok &= overlap > tr.stereo_overlap_th
+
+    sp3d = cam_ops.back_project_batch(cam, sp_l, disp_s)
+    ep3d = cam_ops.back_project_batch(cam, ep_l, disp_e)
+
+    cov_s = jax.vmap(lambda u, v, dd: _endpoint_cov(cam, u, v, dd))(
+        sp_l[:, 0], sp_l[:, 1], disp_s)
+    cov_e = jax.vmap(lambda u, v, dd: _endpoint_cov(cam, u, v, dd))(
+        ep_l[:, 0], ep_l[:, 1], disp_e)
+    max_eig = jnp.maximum(jax.vmap(_max_eig3)(cov_s), jax.vmap(_max_eig3)(cov_e))
+    ok &= max_eig < tr.line_cov_th
+
+    return StereoLines(
+        sp=sp_l, ep=ep_l, sdisp=disp_s, edisp=disp_e, sp3d=sp3d, ep3d=ep3d,
+        le=le_l, angle=feat_l.ln_angle, desc=feat_l.ln_desc,
+        sigma2=jnp.ones_like(disp_s), valid=ok,
+        cov_sp3d=cov_s, cov_ep3d=cov_e)
+
+
+class StereoFrame(NamedTuple):
+    """Full per-frame state (StereoFrame, stereoFrame.h:104-180)."""
+    points: StereoPoints
+    lines: StereoLines
+    feat_l: CameraFeatures
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_stereo_pair(img_l: jax.Array, img_r: jax.Array, cfg: Config,
+                        fast_th: jax.Array) -> StereoFrame:
+    """The whole front-end for one rectified stereo pair in one device call
+    (extractStereoFeatures_ORBSLAM, stereoFrame.cpp:411-767)."""
+    cam = cfg.camera
+    feat_l = detect_camera_features(img_l, cfg, fast_th)
+    feat_r = detect_camera_features(img_r, cfg, fast_th)
+    pyr_l = build_pyramid(img_l, cfg.orb.nlevels, cfg.orb.scale_factor)
+    pyr_r = build_pyramid(img_r, cfg.orb.nlevels, cfg.orb.scale_factor)
+    pts = stereo_match_points(cam, cfg, feat_l, feat_r, pyr_l, pyr_r)
+    lns = stereo_match_lines(cam, cfg, feat_l, feat_r)
+    return StereoFrame(points=pts, lines=lns, feat_l=feat_l)
+
+
+def estimate_line_uncertainty(cam: CameraParams, cfg: Config,
+                              lines: StereoLines) -> StereoLines:
+    """Refresh endpoint covariances with the disparity-stdev model
+    (estimateStereoUncertainty, stereoFrame.cpp:1448-1484): disparity sigma =
+    ratio_disp_std * disp, or ratio_disp_std_hor * disp for near-horizontal
+    lines (|le_x| <= 0.15)."""
+    ratio = jnp.where(jnp.abs(lines.le[:, 0]) <= 0.15,
+                      cfg.stvo.ratio_disp_std_hor, cfg.stvo.ratio_disp_std)
+
+    def cov_from(u, v, disp, r):
+        # J = d(X,Y,Z)/d(u,v,disp) (getJacob2D_3D, stereoFrame.cpp:1375-1392)
+        b = cam.baseline
+        f = cam.fx
+        d = jnp.maximum(disp, 1e-6)
+        j = jnp.stack([
+            jnp.stack([b / d, 0.0 * d, -b * (u - cam.cx) / (d * d)]),
+            jnp.stack([0.0 * d, b / d, -b * (v - cam.cy) / (d * d)]),
+            jnp.stack([0.0 * d, 0.0 * d, -f * b / (d * d)]),
+        ])
+        cov_uvd = jnp.diag(jnp.stack([1.0 + 0.0 * d, 1.0 + 0.0 * d,
+                                      (r * d) ** 2]))
+        return j @ cov_uvd @ j.T
+
+    cov_s = jax.vmap(cov_from)(lines.sp[:, 0], lines.sp[:, 1], lines.sdisp, ratio)
+    cov_e = jax.vmap(cov_from)(lines.ep[:, 0], lines.ep[:, 1], lines.edisp, ratio)
+    return lines._replace(cov_sp3d=cov_s, cov_ep3d=cov_e)

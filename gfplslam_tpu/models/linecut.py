@@ -1,0 +1,211 @@
+"""Good-line-cutting preconditioner: information-maximizing sub-segment
+selection, fully batched.
+
+Capability parity with the reference's production path
+``estimateProjUncertainty_submodular`` (stereoFrameHandler.cpp:1618-1764) and
+its helpers ``getPoseInfoOnLine``/``getPoseInfoPoint``/``updateEndPointByRatio``
+(:1342-1470): per matched line, choose cut ratios (r0, r1) for the two
+endpoints maximizing the log-volume (or min-eigenvalue) of the summed 6x6
+pose information matrix.
+
+TPU-native design: the reference loops lines sequentially, each running a
+greedy 8-neighbor walk. Here all lines take coordinate-ascent steps in
+parallel inside one ``lax.while_loop``: each iteration evaluates all 8
+candidate (r0, r1) moves for every line at once (vmapped closed-form info
+matrices + batched Cholesky log-dets) and applies each line's best improving
+move against the current "rest" information. Same (0.05-step grid, r0+r1<=1,
+range-clamped) feasible set, same objective; parallel instead of sequential
+sweeps (the objective's submodularity keeps both converging to equivalent
+cuts — validated against the simulator invariants in tests).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfplslam_tpu.config import CameraParams
+from gfplslam_tpu.models.frame import StereoLines
+from gfplslam_tpu.models.pose_opt import LineMatches, PointMatches
+
+# 8-neighborhood on the (r0, r1) grid (:1624-1633)
+_NEIGHBOR_STEPS = np.array([
+    [1, 0], [-1, 0], [0, 1], [0, -1],
+    [1, 1], [1, -1], [-1, 1], [-1, -1],
+], dtype=np.float32)
+
+
+def _proj_jac(cam: CameraParams, p: jax.Array) -> jax.Array:
+    """d(u,v)/d(X,Y,Z) pinhole Jacobian (getJacob3D_2D)."""
+    x, y, z = p[0], p[1], p[2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    iz2 = iz * iz
+    return jnp.stack([
+        jnp.stack([cam.fx * iz, 0.0 * iz, -cam.fx * x * iz2]),
+        jnp.stack([0.0 * iz, cam.fy * iz, -cam.fy * y * iz2]),
+    ])
+
+
+def _residual_jac(cam: CameraParams, p: jax.Array, lx: jax.Array,
+                  ly: jax.Array, homog_th: float = 1e-7) -> jax.Array:
+    """d(l . proj(p))/d(twist) closed form (shared with the pose solver)."""
+    gx, gy, gz = p[0], p[1], p[2]
+    fgz2 = cam.fx / jnp.maximum(homog_th, gz * gz)
+    return jnp.stack([
+        fgz2 * lx * gz,
+        fgz2 * ly * gz,
+        -fgz2 * (gx * lx + gy * ly),
+        -fgz2 * (gx * gy * lx + gy * gy * ly + gz * gz * ly),
+        fgz2 * (gx * gx * lx + gz * gz * lx + gx * gy * ly),
+        fgz2 * (gx * gz * ly - gy * gz * lx),
+    ])
+
+
+def pose_info_line(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
+                   ep3d: jax.Array, cov_s: jax.Array, cov_e: jax.Array,
+                   le_obs: jax.Array, r0: jax.Array, r1: jax.Array
+                   ) -> jax.Array:
+    """6x6 pose information of one cut line (getPoseInfoOnLine, :1342-1411).
+
+    ``dt`` is T_curr<-prev (the reference's DT_inv). Endpoints/covariances
+    are interpolated by the cut ratios before transport.
+    """
+    sp = (1 - r0) * sp3d + r0 * ep3d
+    ep = (1 - r1) * ep3d + r1 * sp3d
+    cov_sp = (1 - r0) ** 2 * cov_s + r0 ** 2 * cov_e
+    cov_ep = (1 - r1) ** 2 * cov_e + r1 ** 2 * cov_s
+    rot = dt[:3, :3]
+    lx, ly = le_obs[0], le_obs[1]
+
+    def endpoint_info(p_prev, cov_p):
+        pc = rot @ p_prev + dt[:3, 3]
+        j_proj = _proj_jac(cam, pc)          # [2,3]
+        a = j_proj @ rot                     # [2,3]
+        cov_uv = a @ cov_p @ a.T             # [2,2]
+        j_loss = jnp.stack([lx, ly])
+        cov_r = j_loss @ cov_uv @ j_loss     # scalar residual variance
+        j_r = _residual_jac(cam, pc, lx, ly)  # [6]
+        return j_r, cov_r
+
+    js, cs = endpoint_info(sp, cov_sp)
+    je, ce = endpoint_info(ep, cov_ep)
+    inv_cs = 1.0 / jnp.maximum(cs, 1e-12)
+    inv_ce = 1.0 / jnp.maximum(ce, 1e-12)
+    return jnp.outer(js, js) * inv_cs + jnp.outer(je, je) * inv_ce
+
+
+def pose_info_point(cam: CameraParams, dt: jax.Array, p3d: jax.Array,
+                    obs: jax.Array) -> jax.Array:
+    """6x6 pose information of one point (getPoseInfoPoint, :1414-1447)."""
+    pc = dt[:3, :3] @ p3d + dt[:3, 3]
+    iz = 1.0 / jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+    proj = jnp.stack([cam.fx * pc[0] * iz + cam.cx,
+                      cam.fy * pc[1] * iz + cam.cy])
+    err = proj - obs
+    j = _residual_jac(cam, pc, err[0], err[1])
+    r = jnp.linalg.norm(err)
+    j = j / jnp.maximum(1e-7, r)
+    return jnp.outer(j, j) * (r * r)  # == J_aux J_aux^T of the reference
+
+
+def _logdet_pd(m: jax.Array) -> jax.Array:
+    """log det of a (near-)PD 6x6 via Cholesky (linespec.cpp logdet)."""
+    l = jnp.linalg.cholesky(m + 1e-9 * jnp.eye(6, dtype=m.dtype))
+    d = jnp.diagonal(l)
+    val = 2.0 * jnp.sum(jnp.log(jnp.maximum(d, 1e-30)))
+    return jnp.where(jnp.all(jnp.isfinite(d)), val, -jnp.inf)
+
+
+def _min_eig(m: jax.Array) -> jax.Array:
+    return jnp.linalg.eigvalsh(m)[0]
+
+
+class CutResult(NamedTuple):
+    r0: jax.Array        # [M] start-point cut ratios
+    r1: jax.Array        # [M]
+    info: jax.Array      # [M, 6, 6] per-line info at the final ratios
+    info_sum: jax.Array  # [6, 6]
+    iters: jax.Array     # scalar int32
+
+
+@partial(jax.jit, static_argnames=("cam", "step", "use_logdet", "max_steps"))
+def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
+              cov_s: jax.Array, cov_e: jax.Array, pts: PointMatches,
+              step: float = 0.05, rng_lo: float = 0.0, rng_hi: float = 1.0,
+              use_logdet: bool = True, max_steps: int = 24) -> CutResult:
+    """Parallel coordinate-ascent line cutting (submodular solver,
+    :1618-1764). ``dt`` = T_curr<-prev."""
+    m = lns.sp3d.shape[0]
+    metric = _logdet_pd if use_logdet else _min_eig
+
+    info_line_fn = jax.vmap(
+        lambda sp, ep, cs, ce, le, r0, r1: pose_info_line(
+            cam, dt, sp, ep, cs, ce, le, r0, r1))
+
+    def all_infos(r0, r1):
+        infos = info_line_fn(lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs,
+                             r0, r1)
+        return jnp.where(lns.valid[:, None, None], infos, 0.0)
+
+    pt_infos = jax.vmap(lambda p, o: pose_info_point(cam, dt, p, o))(
+        pts.p3d, pts.obs)
+    pt_sum = jnp.sum(jnp.where(pts.valid[:, None, None], pt_infos, 0.0), 0)
+
+    r0 = jnp.zeros(m)
+    r1 = jnp.zeros(m)
+    infos = all_infos(r0, r1)
+    steps = jnp.asarray(_NEIGHBOR_STEPS * step)
+
+    def cond(carry):
+        r0, r1, infos, it, improved = carry
+        return (it < max_steps) & improved
+
+    def body(carry):
+        r0, r1, infos, it, _ = carry
+        info_sum = jnp.sum(infos, axis=0) + pt_sum
+        rest = info_sum[None] - infos                       # [M,6,6]
+        base = jax.vmap(metric)(rest + infos)               # [M]
+
+        # candidate ratios [M, 8]
+        c0 = r0[:, None] + steps[None, :, 0]
+        c1 = r1[:, None] + steps[None, :, 1]
+        feas = ((c0 + c1 <= 1.0) & (c0 >= rng_lo) & (c0 <= rng_hi)
+                & (c1 >= rng_lo) & (c1 <= rng_hi))
+        cand_infos = jax.vmap(
+            lambda cc0, cc1: all_infos(cc0, cc1), in_axes=1, out_axes=1
+        )(c0, c1)                                           # [M,8,6,6]
+        cand_metric = jax.vmap(jax.vmap(metric))(
+            rest[:, None] + cand_infos)                     # [M,8]
+        cand_metric = jnp.where(feas & lns.valid[:, None], cand_metric,
+                                -jnp.inf)
+        best = jnp.argmax(cand_metric, axis=1)
+        best_m = jnp.take_along_axis(cand_metric, best[:, None], 1)[:, 0]
+        take = best_m > base + 1e-12
+        nr0 = jnp.where(take, jnp.take_along_axis(c0, best[:, None], 1)[:, 0], r0)
+        nr1 = jnp.where(take, jnp.take_along_axis(c1, best[:, None], 1)[:, 0], r1)
+        n_infos = jnp.where(
+            take[:, None, None],
+            jnp.take_along_axis(
+                cand_infos, best[:, None, None, None].repeat(6, 2).repeat(6, 3),
+                axis=1)[:, 0], infos)
+        return nr0, nr1, n_infos, it + 1, jnp.any(take)
+
+    r0, r1, infos, iters, _ = jax.lax.while_loop(
+        cond, body, (r0, r1, infos, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(True)))
+    info_sum = jnp.sum(infos, axis=0) + pt_sum
+    return CutResult(r0=r0, r1=r1, info=infos, info_sum=info_sum, iters=iters)
+
+
+def apply_cut(cam: CameraParams, lns: LineMatches, cut: CutResult
+              ) -> LineMatches:
+    """Rewrite matched-line endpoints by the cut ratios
+    (updateEndPointByRatio, :1451-1470). Only the 3D endpoints feed the pose
+    solver; projections/disparities are derived where needed."""
+    sp = (1 - cut.r0)[:, None] * lns.sp3d + cut.r0[:, None] * lns.ep3d
+    ep = (1 - cut.r1)[:, None] * lns.ep3d + cut.r1[:, None] * lns.sp3d
+    return lns._replace(sp3d=sp, ep3d=ep)

@@ -1,0 +1,362 @@
+"""Loop closure: batched bag-of-words scorer, candidate gating, geometric
+verification, SE(3) pose-graph optimization, rigid map correction.
+
+Capability parity with the reference's loop-closure stack (mapHandler.cpp):
+dual point+line BoW scoring with count- and dispersion-weighted combination
+(``insertKFBowVectorPL``, :2925-3000), temporally-consistent candidate
+search (``lookForLoopCandidates``, :3002-3076), KF<->KF geometric
+verification with 5 acceptance gates (``isLoopClosure`` +
+``computeRelativePoseGN``, :3078-3545), and pose-graph optimization with
+landmark correction (``loopClosureOptimizationEssGraphG2O``, :3950-4185).
+
+TPU-native design decisions:
+
+- DBoW2's hierarchical vocabulary tree (TemplatedVocabulary.h:1066-1127) is
+  replaced by a flat anchor vocabulary: word(desc) = nearest of V fixed
+  256-bit anchors by Hamming distance — one [N, V] popcount matrix per KF —
+  with L1-normalized tf histograms and the DBoW2 L1 score
+  1 - 0.5 |v1 - v2|_1 (ScoringObject.h L1Scoring). The pre-trained .yml
+  vocabularies are not in the reference snapshot (build.sh:17-20), so the
+  anchor set is generated deterministically; scoring semantics (sparse
+  histogram + L1) are preserved.
+- the conf-matrix row for a new KF against *all* past KFs is one matmul-like
+  batched score; g2o's sparse PGO becomes a dense GN on [6K] twists (K <=
+  512 keyframes) with autodiff edge Jacobians — small enough to solve
+  on-chip with Cholesky.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfplslam_tpu.config import Config
+from gfplslam_tpu.models import pose_opt
+from gfplslam_tpu.models.frame import StereoFrame
+from gfplslam_tpu.ops.hamming import hamming_matrix
+from gfplslam_tpu.ops import matching as match_ops
+from gfplslam_tpu.utils import se3
+
+N_KF_PT = 256   # stereo points snapshotted per KF for LC verification
+N_KF_LN = 128
+
+
+def make_vocab(v: int = 256, seed: int = 31) -> np.ndarray:
+    """[V, 8] uint32 anchor descriptors (deterministic)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2 ** 32, size=(v, 8), dtype=np.uint32)
+
+
+VOCAB_P = make_vocab(seed=31)
+VOCAB_L = make_vocab(seed=67)
+
+
+class LoopState(NamedTuple):
+    """Per-KF BoW vectors + feature snapshots + confusion matrix."""
+    bow_p: jax.Array      # [K, V] tf histograms (points)
+    bow_l: jax.Array      # [K, V] (lines)
+    n_pt: jax.Array       # [K] feature counts
+    n_ln: jax.Array
+    std_pt: jax.Array     # [K] spatial dispersion (vector_stdv x + y)
+    std_ln: jax.Array
+    conf: jax.Array       # [K, K] combined scores (conf_matrix)
+    # feature snapshots for geometric verification
+    pt_p3d: jax.Array     # [K, N_KF_PT, 3] camera-frame 3D points
+    pt_uv: jax.Array      # [K, N_KF_PT, 2]
+    pt_desc: jax.Array    # [K, N_KF_PT, 8] uint32
+    pt_valid: jax.Array   # [K, N_KF_PT]
+    ln_sp3d: jax.Array    # [K, N_KF_LN, 3]
+    ln_ep3d: jax.Array    # [K, N_KF_LN, 3]
+    ln_le: jax.Array      # [K, N_KF_LN, 3]
+    ln_desc: jax.Array    # [K, N_KF_LN, 8]
+    ln_valid: jax.Array   # [K, N_KF_LN]
+
+
+def empty_loop_state(cfg: Config) -> LoopState:
+    k = cfg.cap.n_kf_max
+    v = cfg.cap.vocab_k
+    return LoopState(
+        bow_p=jnp.zeros((k, v)), bow_l=jnp.zeros((k, v)),
+        n_pt=jnp.zeros(k, jnp.int32), n_ln=jnp.zeros(k, jnp.int32),
+        std_pt=jnp.zeros(k), std_ln=jnp.zeros(k),
+        conf=jnp.zeros((k, k)),
+        pt_p3d=jnp.zeros((k, N_KF_PT, 3)), pt_uv=jnp.zeros((k, N_KF_PT, 2)),
+        pt_desc=jnp.zeros((k, N_KF_PT, 8), jnp.uint32),
+        pt_valid=jnp.zeros((k, N_KF_PT), bool),
+        ln_sp3d=jnp.zeros((k, N_KF_LN, 3)), ln_ep3d=jnp.zeros((k, N_KF_LN, 3)),
+        ln_le=jnp.zeros((k, N_KF_LN, 3)),
+        ln_desc=jnp.zeros((k, N_KF_LN, 8), jnp.uint32),
+        ln_valid=jnp.zeros((k, N_KF_LN), bool))
+
+
+def bow_vector(desc: jax.Array, valid: jax.Array, vocab: jax.Array
+               ) -> jax.Array:
+    """tf histogram over nearest-anchor words, L1-normalized
+    (TemplatedVocabulary::transform semantics on a flat vocabulary)."""
+    d = hamming_matrix(desc, jnp.asarray(vocab), valid_a=valid)
+    word = jnp.argmin(d, axis=1)
+    hist = jnp.zeros(vocab.shape[0]).at[word].add(valid.astype(jnp.float32))
+    return hist / jnp.maximum(jnp.sum(hist), 1e-9)
+
+
+def l1_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """DBoW2 L1 score: 1 - 0.5 |v1 - v2|_1 in [0, 1]."""
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(v1 - v2), axis=-1)
+
+
+def _masked_stdv(x: jax.Array, mask: jax.Array) -> jax.Array:
+    n = jnp.maximum(jnp.sum(mask), 1)
+    mu = jnp.sum(jnp.where(mask, x, 0)) / n
+    var = jnp.sum(jnp.where(mask, (x - mu) ** 2, 0)) / n
+    return jnp.sqrt(var)
+
+
+def _topk_snapshot(valid, n_out, *arrays):
+    """Select up to n_out valid rows (stable order) from padded arrays."""
+    key = jnp.where(valid, jnp.arange(valid.shape[0]), valid.shape[0] + 1)
+    order = jnp.argsort(key)[:n_out]
+    ok = valid[order]
+    return (ok,) + tuple(a[order] for a in arrays)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
+                  frame: StereoFrame) -> LoopState:
+    """Compute this KF's dual BoW + dispersion stats, snapshot its features,
+    and fill its conf-matrix row against all earlier KFs (:2976-2999):
+    score = (sp*n_pt + sl*n_ln)/n_pl + (sp*std_pt + sl*std_ln)/std_pl."""
+    f = frame.points
+    fl = frame.lines
+    bow_p = bow_vector(f.desc, f.valid, VOCAB_P)
+    bow_l = bow_vector(fl.desc, fl.valid, VOCAB_L)
+    n_pt = jnp.sum(f.valid)
+    n_ln = jnp.sum(fl.valid)
+    std_pt = (_masked_stdv(f.xy[:, 0], f.valid)
+              + _masked_stdv(f.xy[:, 1], f.valid))
+    mid = 0.5 * (fl.sp + fl.ep)
+    std_ln = (_masked_stdv(mid[:, 0], fl.valid)
+              + _masked_stdv(mid[:, 1], fl.valid))
+
+    sp = l1_score(bow_p[None], ls.bow_p)     # [K]
+    sl = l1_score(bow_l[None], ls.bow_l)
+    n_pl = jnp.maximum(n_pt + n_ln, 1)
+    std_pl = jnp.maximum(std_pt + std_ln, 1e-9)
+    score = ((sp * n_pt + sl * n_ln) / n_pl
+             + (sp * std_pt + sl * std_ln) / std_pl)
+    prior = jnp.arange(ls.conf.shape[0]) < kf_idx
+    row = jnp.where(prior, score, 0.0)
+    conf = ls.conf.at[kf_idx, :].set(row)
+    conf = conf.at[:, kf_idx].set(row)
+
+    ok_p, p3, uv, dp = _topk_snapshot(f.valid, N_KF_PT, f.p3d, f.xy, f.desc)
+    ok_l, s3, e3, le, dl = _topk_snapshot(fl.valid, N_KF_LN, fl.sp3d, fl.ep3d,
+                                          fl.le, fl.desc)
+    return ls._replace(
+        bow_p=ls.bow_p.at[kf_idx].set(bow_p),
+        bow_l=ls.bow_l.at[kf_idx].set(bow_l),
+        n_pt=ls.n_pt.at[kf_idx].set(n_pt),
+        n_ln=ls.n_ln.at[kf_idx].set(n_ln),
+        std_pt=ls.std_pt.at[kf_idx].set(std_pt),
+        std_ln=ls.std_ln.at[kf_idx].set(std_ln),
+        conf=conf,
+        pt_p3d=ls.pt_p3d.at[kf_idx].set(p3),
+        pt_uv=ls.pt_uv.at[kf_idx].set(uv),
+        pt_desc=ls.pt_desc.at[kf_idx].set(dp),
+        pt_valid=ls.pt_valid.at[kf_idx].set(ok_p),
+        ln_sp3d=ls.ln_sp3d.at[kf_idx].set(s3),
+        ln_ep3d=ls.ln_ep3d.at[kf_idx].set(e3),
+        ln_le=ls.ln_le.at[kf_idx].set(le),
+        ln_desc=ls.ln_desc.at[kf_idx].set(dl),
+        ln_valid=ls.ln_valid.at[kf_idx].set(ok_l))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def look_for_loop_candidates(cfg: Config, ls: LoopState,
+                             full_graph: jax.Array,
+                             kf_curr: jax.Array) -> jax.Array:
+    """Candidate KF index or -1 (lookForLoopCandidates, :3002-3076)."""
+    s = cfg.slam
+    k = ls.conf.shape[0]
+    ids = jnp.arange(k)
+    row = ls.conf[kf_curr]
+    far = ids < kf_curr - s.lc_kf_dist
+    # min score among covisible/recent KFs (the adaptive threshold)
+    connected = ((full_graph[:, kf_curr] + full_graph[kf_curr, :]
+                  >= s.min_lm_cov_graph)
+                 | ((kf_curr - ids <= s.min_kf_local_map + 3) & (ids < kf_curr)))
+    cscores = jnp.where(connected & (row > 0.001), row, jnp.inf)
+    lc_min_score = jnp.minimum(jnp.min(cscores), 1.0)
+
+    cand_scores = jnp.where(far, row, -jnp.inf)
+    idx_max = jnp.argmax(cand_scores)
+    best = cand_scores[idx_max]
+    # temporal consistency: enough KFs near idx_max also scoring high
+    near = (jnp.abs(ids - idx_max) <= s.lc_kf_max_dist) & far & (ids != idx_max)
+    n_closest = jnp.sum(near & (row >= lc_min_score * 0.8))
+    n_far = jnp.sum(far)
+    ok = ((n_far > s.lc_kf_max_dist) & (best >= lc_min_score)
+          & (n_closest >= s.lc_nkf_closest))
+    return jnp.where(ok, idx_max, -1)
+
+
+class LoopVerification(NamedTuple):
+    accepted: jax.Array   # bool
+    t_rel: jax.Array      # [4,4] T_curr<-prev relative pose estimate
+    n_inliers: jax.Array
+    err: jax.Array
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def verify_loop(cfg: Config, ls: LoopState, kf_prev: jax.Array,
+                kf_curr: jax.Array) -> LoopVerification:
+    """KF<->KF mutual-best matching + robust GN from identity + acceptance
+    gates (isLoopClosure/computeRelativePoseGN, :3078-3545): residual <
+    lc_res, cov eig < lc_unc, inlier ratio > lc_inl, |t| < lc_trs,
+    rot < lc_rot degrees."""
+    s = cfg.slam
+    dp = hamming_matrix(ls.pt_desc[kf_prev], ls.pt_desc[kf_curr],
+                        ls.pt_valid[kf_prev], ls.pt_valid[kf_curr])
+    mp = match_ops.mutual_best(dp)
+    pts = pose_opt.PointMatches(
+        p3d=ls.pt_p3d[kf_prev], obs=ls.pt_uv[kf_curr][mp.idx],
+        sigma2=jnp.ones(N_KF_PT), valid=mp.valid)
+    dl = hamming_matrix(ls.ln_desc[kf_prev], ls.ln_desc[kf_curr],
+                        ls.ln_valid[kf_prev], ls.ln_valid[kf_curr])
+    ml = match_ops.mutual_best(dl)
+    lns = pose_opt.LineMatches(
+        sp3d=ls.ln_sp3d[kf_prev], ep3d=ls.ln_ep3d[kf_prev],
+        le_obs=ls.ln_le[kf_curr][ml.idx],
+        sigma2=jnp.ones(N_KF_LN), valid=ml.valid)
+
+    res = pose_opt.optimize_pose(cfg.camera, jnp.eye(4), pts, lns,
+                                 cfg.optimizer, delta_t=1e9)
+    n_match = jnp.sum(mp.valid) + jnp.sum(ml.valid)
+    n_inl = jnp.sum(res.pt_inlier) + jnp.sum(res.ln_inlier)
+    inl_ratio = n_inl / jnp.maximum(n_match, 1)
+    tw = se3.logmap_se3(res.dt)
+    trans = jnp.linalg.norm(tw[:3])
+    rot_deg = jnp.linalg.norm(tw[3:]) * 180.0 / jnp.pi
+    max_cov_eig = jnp.max(jnp.linalg.eigvalsh(
+        res.dt_cov + 1e-12 * jnp.eye(6)))
+    accepted = (res.accepted
+                & (res.err < s.lc_res) & (res.err >= 0)
+                & (max_cov_eig < s.lc_unc)
+                & (inl_ratio > s.lc_inl)
+                & (trans < s.lc_trs)
+                & (rot_deg < s.lc_rot))
+    return LoopVerification(accepted=accepted, t_rel=res.dt,
+                            n_inliers=n_inl, err=res.err)
+
+
+# ---------------------------------------------------------------------------
+# Pose-graph optimization (g2o replacement)
+# ---------------------------------------------------------------------------
+
+class PoseGraphEdges(NamedTuple):
+    i: jax.Array       # [E] int32
+    j: jax.Array       # [E] int32
+    t_ij: jax.Array    # [E, 4, 4] measured T_i^-1 T_j
+    valid: jax.Array   # [E] bool
+
+
+def build_edges(kf_pose: jax.Array, kf_valid: jax.Array,
+                full_graph: jax.Array, min_covis: int,
+                lc_i: jax.Array, lc_j: jax.Array, lc_t: jax.Array,
+                max_edges: int) -> PoseGraphEdges:
+    """Sequential + covisibility + loop edges (:4029-4066). Measurements for
+    sequential/covis edges are taken from current estimates (the reference
+    does the same before correction)."""
+    k = kf_pose.shape[0]
+    ids = jnp.arange(k)
+    # sequential edges (i, i+1)
+    seq_i = ids[:-1]
+    seq_j = ids[1:]
+    seq_ok = kf_valid[:-1] & kf_valid[1:]
+    # covisibility edges above threshold (upper triangle)
+    cov = (full_graph + full_graph.T) >= min_covis
+    iu, ju = jnp.triu_indices(k, 1)
+    cov_ok = cov[iu, ju] & kf_valid[iu] & kf_valid[ju] & (ju != iu + 1)
+    # take top max_edges-(k) covis edges
+    budget = max_edges - (k - 1) - 1
+    sel = jax.lax.top_k(jnp.where(cov_ok, 1, 0) * (iu * k + ju + 1), budget)[0]
+    sel_ok = sel > 0
+    sel_flat = jnp.where(sel_ok, sel - 1, 0)
+    cov_i = sel_flat // k
+    cov_j = sel_flat % k
+
+    e_i = jnp.concatenate([seq_i, cov_i, lc_i[None]])
+    e_j = jnp.concatenate([seq_j, cov_j, lc_j[None]])
+    e_ok = jnp.concatenate([seq_ok, sel_ok, jnp.asarray([True])])
+
+    t_inv = jax.vmap(se3.inverse_se3)(kf_pose)
+    t_ij = jax.vmap(lambda a, b: t_inv[a] @ kf_pose[b])(e_i, e_j)
+    # overwrite the LC edge with the verified measurement
+    t_ij = t_ij.at[-1].set(lc_t)
+    return PoseGraphEdges(i=e_i, j=e_j, t_ij=t_ij, valid=e_ok)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(kf_pose: jax.Array, kf_valid: jax.Array,
+                        edges: PoseGraphEdges, fixed: jax.Array,
+                        iters: int = 50) -> jax.Array:
+    """Dense GN on SE(3) pose graph: residual r = log(T_ij^-1 T_i^-1 T_j),
+    identity information (:4052-4072). Replaces g2o LM + Cholmod."""
+    k = kf_pose.shape[0]
+
+    def residual(x, ei, ej, tij):
+        # x: [K, 6] twist corrections applied as T <- T exp(x)
+        ti = kf_pose[ei] @ se3.expmap_se3(x[ei])
+        tj = kf_pose[ej] @ se3.expmap_se3(x[ej])
+        return se3.logmap_se3(se3.inverse_se3(tij) @ se3.inverse_se3(ti) @ tj)
+
+    def gn_step(x):
+        def edge_terms(ei, ej, tij, ok):
+            r = residual(x, ei, ej, tij)
+            ji = jax.jacfwd(lambda d: residual(
+                x.at[ei].add(d), ei, ej, tij))(jnp.zeros(6))
+            jj = jax.jacfwd(lambda d: residual(
+                x.at[ej].add(d), ei, ej, tij))(jnp.zeros(6))
+            w = ok.astype(jnp.float32)
+            return r * w, ji * w, jj * w
+        r, ji, jj = jax.vmap(edge_terms)(edges.i, edges.j, edges.t_ij,
+                                         edges.valid)
+        # assemble H [K,6,K,6], b [K,6]
+        h = jnp.zeros((k, 6, k, 6))
+        h = h.at[edges.i, :, edges.i, :].add(
+            jnp.einsum("eri,erj->eij", ji, ji))
+        h = h.at[edges.j, :, edges.j, :].add(
+            jnp.einsum("eri,erj->eij", jj, jj))
+        h = h.at[edges.i, :, edges.j, :].add(
+            jnp.einsum("eri,erj->eij", ji, jj))
+        h = h.at[edges.j, :, edges.i, :].add(
+            jnp.einsum("eri,erj->eij", jj, ji))
+        b = jnp.zeros((k, 6))
+        b = b.at[edges.i].add(jnp.einsum("eri,er->ei", ji, r))
+        b = b.at[edges.j].add(jnp.einsum("eri,er->ei", jj, r))
+        free = (kf_valid & ~fixed)
+        mask = jnp.repeat(free, 6)
+        hf = h.reshape(6 * k, 6 * k)
+        hf = jnp.where(mask[:, None] & mask[None, :], hf, 0.0)
+        hf = hf + jnp.diag(jnp.where(mask, 1e-8, 1.0))
+        bf = jnp.where(mask, b.reshape(-1), 0.0)
+        dx = jnp.linalg.solve(hf, bf).reshape(k, 6)
+        return x - jnp.where(free[:, None], dx, 0.0)
+
+    x = jax.lax.fori_loop(0, iters, lambda _, x: gn_step(x),
+                          jnp.zeros((k, 6)))
+    return jax.vmap(lambda t, d: t @ se3.expmap_se3(d))(kf_pose, x)
+
+
+def rigid_correct_landmarks(kf_old: jax.Array, kf_new: jax.Array,
+                            lm_pos: jax.Array, lm_kf: jax.Array,
+                            lm_valid: jax.Array) -> jax.Array:
+    """Apply each landmark's owner-KF correction T_new T_old^-1 (:4074-4127)."""
+    t_corr = jax.vmap(lambda a, b: a @ se3.inverse_se3(b))(kf_new, kf_old)
+    def one(p, k, ok):
+        t = t_corr[k]
+        return jnp.where(ok, t[:3, :3] @ p + t[:3, 3], p)
+    return jax.vmap(one)(lm_pos, lm_kf, lm_valid)

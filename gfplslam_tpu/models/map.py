@@ -1,0 +1,430 @@
+"""SLAM map back-end: keyframes, landmark pools, covisibility, BA windows.
+
+Capability parity with ``MapHandler``'s data layer (mapHandler.cpp): KF
+insertion + pose composition (:113-187), KF<->map data association
+(``lookForCommonMatches``, :189-772), covisibility ``full_graph`` expansion
+(:774-787), local-map formation (:789-857), landmark culling
+(``removeBadMapLandmarks``, :2550-2630), plus the observation bookkeeping
+that feeds local BA (obs lists, :1143-1161).
+
+TPU-native design: the reference's pointer graph (KeyFrame*/MapPoint*/
+MapLine* with std::vector obs lists, keyFrame.h:60-70, mapFeatures.h:40-95)
+becomes one `MapState` pytree of fixed-capacity arrays — landmark pools,
+flat observation tables (ring allocation), and a dense [K, K] covisibility
+count matrix. Data association is one masked Hamming matrix against local
+landmarks instead of per-feature BFMatcher loops; the reference's separate
+prev-KF and local-map matching stages collapse into the local-map stage
+(every prev-KF feature is itself a landmark here, so coverage is a superset).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gfplslam_tpu.config import Config
+from gfplslam_tpu.models.ba import BAProblem
+from gfplslam_tpu.models.frame import StereoFrame
+from gfplslam_tpu.ops import camera as cam_ops
+from gfplslam_tpu.ops.hamming import hamming_matrix
+from gfplslam_tpu.ops import matching as match_ops
+from gfplslam_tpu.utils import se3
+
+CHI2_2DOF = 7.815  # 95% gate used throughout the reference (:265, :403)
+
+
+class MapState(NamedTuple):
+    # keyframes
+    kf_pose: jax.Array      # [K, 4, 4] cam->world
+    kf_valid: jax.Array     # [K] bool
+    n_kf: jax.Array         # int32
+    # point landmarks (MapPoint, mapFeatures.h:40-70)
+    pt_pos: jax.Array       # [P, 3] world
+    pt_desc: jax.Array      # [P, 8] uint32 representative descriptor
+    pt_obs_n: jax.Array     # [P] int32 observation count
+    pt_last_kf: jax.Array   # [P] int32 last observing KF
+    pt_valid: jax.Array     # [P] bool
+    # line landmarks (MapLine, mapFeatures.h:72-95)
+    ln_sp: jax.Array        # [L, 3]
+    ln_ep: jax.Array        # [L, 3]
+    ln_desc: jax.Array      # [L, 8] uint32
+    ln_obs_n: jax.Array     # [L]
+    ln_last_kf: jax.Array   # [L]
+    ln_valid: jax.Array     # [L] bool
+    # observation tables (flat, ring-allocated)
+    po_kf: jax.Array        # [Op] int32
+    po_lm: jax.Array        # [Op] int32
+    po_uv: jax.Array        # [Op, 2]
+    po_sigma2: jax.Array    # [Op]
+    po_valid: jax.Array     # [Op] bool
+    po_head: jax.Array      # int32 next free slot
+    lo_kf: jax.Array        # [Ol]
+    lo_lm: jax.Array        # [Ol]
+    lo_le: jax.Array        # [Ol, 3]
+    lo_sigma2: jax.Array    # [Ol]
+    lo_valid: jax.Array     # [Ol] bool
+    lo_head: jax.Array      # int32
+    # covisibility counts (full_graph, mapHandler.h:135)
+    full_graph: jax.Array   # [K, K] int32
+
+
+def empty_map(cfg: Config) -> MapState:
+    cap = cfg.cap
+    k, p, l = cap.n_kf_max, cap.n_map_pt, cap.n_map_ln
+    op, ol = cap.n_obs_pt * 16, cap.n_obs_ln * 16
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4)[None], (k, 1, 1)),
+        kf_valid=jnp.zeros(k, bool), n_kf=jnp.asarray(0, jnp.int32),
+        pt_pos=jnp.zeros((p, 3)), pt_desc=jnp.zeros((p, 8), jnp.uint32),
+        pt_obs_n=jnp.zeros(p, jnp.int32), pt_last_kf=jnp.zeros(p, jnp.int32),
+        pt_valid=jnp.zeros(p, bool),
+        ln_sp=jnp.zeros((l, 3)), ln_ep=jnp.zeros((l, 3)),
+        ln_desc=jnp.zeros((l, 8), jnp.uint32),
+        ln_obs_n=jnp.zeros(l, jnp.int32), ln_last_kf=jnp.zeros(l, jnp.int32),
+        ln_valid=jnp.zeros(l, bool),
+        po_kf=jnp.zeros(op, jnp.int32), po_lm=jnp.zeros(op, jnp.int32),
+        po_uv=jnp.zeros((op, 2)), po_sigma2=jnp.ones(op),
+        po_valid=jnp.zeros(op, bool), po_head=jnp.asarray(0, jnp.int32),
+        lo_kf=jnp.zeros(ol, jnp.int32), lo_lm=jnp.zeros(ol, jnp.int32),
+        lo_le=jnp.zeros((ol, 3)), lo_sigma2=jnp.ones(ol),
+        lo_valid=jnp.zeros(ol, bool), lo_head=jnp.asarray(0, jnp.int32),
+        full_graph=jnp.zeros((k, k), jnp.int32),
+    )
+
+
+def _alloc_slots(free_mask: jax.Array, want: jax.Array) -> jax.Array:
+    """For each True in ``want`` (feature creates a landmark), assign a free
+    pool slot; -1 if the pool is exhausted. Returns [len(want)] int32."""
+    free_idx = jnp.where(free_mask, jnp.arange(free_mask.shape[0]),
+                         free_mask.shape[0])
+    free_sorted = jnp.sort(free_idx)  # free slots first
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free_mask)
+    slot = jnp.where(want & (rank < n_free) & (rank < free_sorted.shape[0]),
+                     free_sorted[jnp.clip(rank, 0, free_sorted.shape[0] - 1)],
+                     -1)
+    return slot
+
+
+def _append_obs(kf_arr, lm_arr, uv_arr, s2_arr, valid_arr, head,
+                kf_idx, lm_idx, uv, s2, want):
+    """Ring-append a batch of observations at ``head`` (wraps around,
+    overwriting the oldest entries — the flat analog of obs lists)."""
+    cap = kf_arr.shape[0]
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1
+    pos = (head + rank) % cap
+    idx = jnp.where(want, pos, cap)  # out-of-range writes dropped
+    kf_arr = kf_arr.at[idx].set(jnp.full_like(lm_idx, kf_idx), mode="drop")
+    lm_arr = lm_arr.at[idx].set(lm_idx, mode="drop")
+    uv_arr = uv_arr.at[idx].set(uv, mode="drop")
+    s2_arr = s2_arr.at[idx].set(s2, mode="drop")
+    valid_arr = valid_arr.at[idx].set(True, mode="drop")
+    n_new = jnp.sum(want)
+    return kf_arr, lm_arr, uv_arr, s2_arr, valid_arr, (head + n_new) % cap
+
+
+class KFMatchResult(NamedTuple):
+    pt_lm_idx: jax.Array  # [Np] landmark id per frame point (-1 = none)
+    ln_lm_idx: jax.Array  # [Nl]
+    n_pt_matched: jax.Array
+    n_ln_matched: jax.Array
+
+
+def _match_frame_to_map(cfg: Config, m: MapState, frame: StereoFrame,
+                        t_kf_w: jax.Array, local_pt: jax.Array,
+                        local_ln: jax.Array) -> KFMatchResult:
+    """Descriptor + chi2-projection association of new-KF features to local
+    landmarks (lookForCommonMatches, mapHandler.cpp:189-772)."""
+    cam = cfg.camera
+    t_cw = se3.inverse_se3(t_kf_w)
+
+    # ---- points ----
+    f = frame.points
+    d = hamming_matrix(f.desc, m.pt_desc, f.valid,
+                       m.pt_valid & local_pt).astype(jnp.float32)
+    proj = cam_ops.project_batch(
+        cam, jax.vmap(lambda x: t_cw[:3, :3] @ x + t_cw[:3, 3])(m.pt_pos))
+    pd = jnp.linalg.norm(f.xy[:, None, :] - proj[None, :, :], axis=-1)
+    big = jnp.float32(1 << 16)
+    d = jnp.where(pd * pd < CHI2_2DOF, d, big)
+    mm = match_ops.Matches(
+        idx=jnp.argmin(d, 1),
+        dist=jnp.min(d, 1),
+        valid=f.valid & (jnp.min(d, 1) < big))
+    mm = mm._replace(valid=mm.valid & (mm.dist < 80))
+    mm = match_ops.dedup_per_target(mm, m.pt_pos.shape[0])
+    pt_lm = jnp.where(mm.valid, mm.idx, -1)
+
+    # ---- lines: descriptor + endpoint-to-projected-line distance gate ----
+    fl = frame.lines
+    dl = hamming_matrix(fl.desc, m.ln_desc, fl.valid,
+                        m.ln_valid & local_ln).astype(jnp.float32)
+    sp_c = jax.vmap(lambda x: t_cw[:3, :3] @ x + t_cw[:3, 3])(m.ln_sp)
+    ep_c = jax.vmap(lambda x: t_cw[:3, :3] @ x + t_cw[:3, 3])(m.ln_ep)
+    sp2 = cam_ops.project_batch(cam, sp_c)
+    ep2 = cam_ops.project_batch(cam, ep_c)
+    # distance of projected endpoints to the observed frame line
+    def pt_line_d(p, le):
+        return jnp.abs(le[0] * p[0] + le[1] * p[1] + le[2])
+    dist_s = jax.vmap(lambda le: jax.vmap(lambda p: pt_line_d(p, le))(sp2))(fl.le)
+    dist_e = jax.vmap(lambda le: jax.vmap(lambda p: pt_line_d(p, le))(ep2))(fl.le)
+    geom_ok = (dist_s * dist_s + dist_e * dist_e) < 2 * CHI2_2DOF
+    dl = jnp.where(geom_ok, dl, big)
+    lm_m = match_ops.Matches(
+        idx=jnp.argmin(dl, 1), dist=jnp.min(dl, 1),
+        valid=fl.valid & (jnp.min(dl, 1) < big))
+    lm_m = match_ops.dedup_per_target(lm_m, m.ln_sp.shape[0])
+    ln_lm = jnp.where(lm_m.valid, lm_m.idx, -1)
+
+    return KFMatchResult(pt_lm_idx=pt_lm, ln_lm_idx=ln_lm,
+                         n_pt_matched=jnp.sum(pt_lm >= 0),
+                         n_ln_matched=jnp.sum(ln_lm >= 0))
+
+
+def local_kf_mask(cfg: Config, m: MapState, kf_idx: jax.Array) -> jax.Array:
+    """Local-map KFs: covisibility >= min_lm_cov_graph with the given KF, or
+    among the last min_kf_local_map KFs (formLocalMap, :789-857)."""
+    k = m.kf_pose.shape[0]
+    ids = jnp.arange(k)
+    covis = m.full_graph[kf_idx] + m.full_graph[:, kf_idx]
+    recent = (ids <= kf_idx) & (ids > kf_idx - cfg.slam.min_kf_local_map - 1)
+    return m.kf_valid & ((covis >= cfg.slam.min_lm_cov_graph) | recent)
+
+
+def local_landmark_masks(cfg: Config, m: MapState, kf_idx: jax.Array
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Landmarks observed by any local KF."""
+    kf_loc = local_kf_mask(cfg, m, kf_idx)
+    pt_loc = (jnp.zeros(m.pt_pos.shape[0], bool)
+              .at[m.po_lm].max(m.po_valid & kf_loc[m.po_kf]))
+    ln_loc = (jnp.zeros(m.ln_sp.shape[0], bool)
+              .at[m.lo_lm].max(m.lo_valid & kf_loc[m.lo_kf]))
+    return pt_loc & m.pt_valid, ln_loc & m.ln_valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def initialize_map(cfg: Config, m: MapState, frame: StereoFrame) -> MapState:
+    """KF0: every stereo feature becomes a landmark (MapHandler::initialize
+    path, mapHandler.cpp:37-94). World frame = KF0 camera frame."""
+    return _insert_kf(cfg, m, frame, jnp.eye(4),
+                      pt_lm_idx=jnp.full(frame.points.xy.shape[0], -1),
+                      ln_lm_idx=jnp.full(frame.lines.sp.shape[0], -1))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def add_keyframe(cfg: Config, m: MapState, frame: StereoFrame,
+                 t_rel: jax.Array) -> tuple[MapState, KFMatchResult]:
+    """KF insertion (addKeyFrame, mapHandler.cpp:113-187): compose pose from
+    the previous KF, associate features with local landmarks, create new
+    landmarks from unmatched stereo features, update obs + covisibility."""
+    prev_idx = m.n_kf - 1
+    t_kf_w = m.kf_pose[prev_idx] @ t_rel
+    pt_loc, ln_loc = local_landmark_masks(cfg, m, prev_idx)
+    match = _match_frame_to_map(cfg, m, frame, t_kf_w, pt_loc, ln_loc)
+    m = _insert_kf(cfg, m, frame, t_kf_w, match.pt_lm_idx, match.ln_lm_idx)
+    return m, match
+
+
+def _insert_kf(cfg: Config, m: MapState, frame: StereoFrame,
+               t_kf_w: jax.Array, pt_lm_idx: jax.Array,
+               ln_lm_idx: jax.Array) -> MapState:
+    kf_idx = m.n_kf
+    m = m._replace(
+        kf_pose=m.kf_pose.at[kf_idx].set(t_kf_w),
+        kf_valid=m.kf_valid.at[kf_idx].set(True))
+
+    f = frame.points
+    fl = frame.lines
+    rot = t_kf_w[:3, :3]
+    tr = t_kf_w[:3, 3]
+    pt_world = jax.vmap(lambda x: rot @ x + tr)(f.p3d)
+    ln_sp_w = jax.vmap(lambda x: rot @ x + tr)(fl.sp3d)
+    ln_ep_w = jax.vmap(lambda x: rot @ x + tr)(fl.ep3d)
+
+    # --- create new landmarks from unmatched valid features ---
+    new_pt = f.valid & (pt_lm_idx < 0)
+    slot_pt = _alloc_slots(~m.pt_valid, new_pt)
+    created_pt = slot_pt >= 0
+    safe_slot = jnp.where(created_pt, slot_pt, 0)
+    m = m._replace(
+        pt_pos=m.pt_pos.at[jnp.where(created_pt, slot_pt, m.pt_pos.shape[0])
+                           ].set(pt_world, mode="drop"),
+        pt_desc=m.pt_desc.at[jnp.where(created_pt, slot_pt, m.pt_pos.shape[0])
+                             ].set(f.desc, mode="drop"))
+    new_ln = fl.valid & (ln_lm_idx < 0)
+    slot_ln = _alloc_slots(~m.ln_valid, new_ln)
+    created_ln = slot_ln >= 0
+    drop_l = m.ln_sp.shape[0]
+    m = m._replace(
+        ln_sp=m.ln_sp.at[jnp.where(created_ln, slot_ln, drop_l)].set(
+            ln_sp_w, mode="drop"),
+        ln_ep=m.ln_ep.at[jnp.where(created_ln, slot_ln, drop_l)].set(
+            ln_ep_w, mode="drop"),
+        ln_desc=m.ln_desc.at[jnp.where(created_ln, slot_ln, drop_l)].set(
+            fl.desc, mode="drop"))
+
+    # landmark id per feature after creation
+    pt_lm = jnp.where(created_pt, slot_pt, pt_lm_idx)
+    ln_lm = jnp.where(created_ln, slot_ln, ln_lm_idx)
+    obs_pt = pt_lm >= 0
+    obs_ln = ln_lm >= 0
+    pt_lm_safe = jnp.where(obs_pt, pt_lm, 0)
+    ln_lm_safe = jnp.where(obs_ln, ln_lm, 0)
+
+    # --- covisibility increments (expandGraphs + full_graph++, :303-334) ---
+    # for each matched (pre-existing) landmark, +1 with every KF in its obs
+    matched_pt_mask = jnp.zeros(m.pt_pos.shape[0], bool).at[
+        jnp.where(pt_lm_idx >= 0, pt_lm_idx, m.pt_pos.shape[0])
+    ].set(True, mode="drop")
+    matched_ln_mask = jnp.zeros(m.ln_sp.shape[0], bool).at[
+        jnp.where(ln_lm_idx >= 0, ln_lm_idx, m.ln_sp.shape[0])
+    ].set(True, mode="drop")
+    inc_p = m.po_valid & matched_pt_mask[m.po_lm]
+    inc_l = m.lo_valid & matched_ln_mask[m.lo_lm]
+    fg = m.full_graph
+    fg = fg.at[kf_idx, m.po_kf].add(inc_p.astype(jnp.int32))
+    fg = fg.at[kf_idx, m.lo_kf].add(inc_l.astype(jnp.int32))
+    m = m._replace(full_graph=fg)
+
+    # --- append observations ---
+    po = _append_obs(m.po_kf, m.po_lm, m.po_uv, m.po_sigma2, m.po_valid,
+                     m.po_head, kf_idx, pt_lm_safe, f.xy, f.sigma2, obs_pt)
+    lo = _append_obs(m.lo_kf, m.lo_lm, m.lo_le, m.lo_sigma2, m.lo_valid,
+                     m.lo_head, kf_idx, ln_lm_safe, fl.le, fl.sigma2, obs_ln)
+    m = m._replace(po_kf=po[0], po_lm=po[1], po_uv=po[2], po_sigma2=po[3],
+                   po_valid=po[4], po_head=po[5],
+                   lo_kf=lo[0], lo_lm=lo[1], lo_le=lo[2], lo_sigma2=lo[3],
+                   lo_valid=lo[4], lo_head=lo[5])
+
+    # --- landmark stats + validity ---
+    m = m._replace(
+        pt_obs_n=m.pt_obs_n.at[pt_lm_safe].add(obs_pt.astype(jnp.int32)),
+        pt_last_kf=jnp.maximum(
+            m.pt_last_kf,
+            jnp.zeros_like(m.pt_last_kf).at[pt_lm_safe].max(
+                jnp.where(obs_pt, kf_idx, 0))),
+        pt_valid=m.pt_valid.at[
+            jnp.where(created_pt, slot_pt, m.pt_pos.shape[0])
+        ].set(True, mode="drop"),
+        ln_obs_n=m.ln_obs_n.at[ln_lm_safe].add(obs_ln.astype(jnp.int32)),
+        ln_last_kf=jnp.maximum(
+            m.ln_last_kf,
+            jnp.zeros_like(m.ln_last_kf).at[ln_lm_safe].max(
+                jnp.where(obs_ln, kf_idx, 0))),
+        ln_valid=m.ln_valid.at[
+            jnp.where(created_ln, slot_ln, drop_l)
+        ].set(True, mode="drop"),
+        n_kf=m.n_kf + 1)
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def remove_bad_landmarks(cfg: Config, m: MapState) -> MapState:
+    """Cull stale under-observed landmarks (removeBadMapLandmarks,
+    mapHandler.cpp:2550-2630): non-local landmarks older than 10 KFs with
+    fewer than min_lm_obs observations."""
+    cur = m.n_kf - 1
+    stale_pt = (m.pt_last_kf < cur - 10) & (m.pt_obs_n < cfg.slam.min_lm_obs)
+    stale_ln = (m.ln_last_kf < cur - 10) & (m.ln_obs_n < cfg.slam.min_lm_obs)
+    pt_valid = m.pt_valid & ~stale_pt
+    ln_valid = m.ln_valid & ~stale_ln
+    return m._replace(
+        pt_valid=pt_valid, ln_valid=ln_valid,
+        po_valid=m.po_valid & pt_valid[m.po_lm],
+        lo_valid=m.lo_valid & ln_valid[m.lo_lm])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def build_local_ba_problem(cfg: Config, m: MapState) -> tuple[
+        BAProblem, jax.Array, jax.Array, jax.Array]:
+    """Assemble the padded local-BA window for the newest KF
+    (localBundleAdjustment setup, mapHandler.cpp:1108-1215).
+
+    Returns (problem, window_kf_ids [Kw], window_pt_ids [Pw],
+    window_ln_ids [Lw]) for scattering results back.
+    """
+    cap = cfg.cap
+    kw = cap.n_kf_window
+    cur = m.n_kf - 1
+    kf_loc = local_kf_mask(cfg, m, cur)
+    # newest kw local KFs -> window slots (order: oldest..newest)
+    k = m.kf_pose.shape[0]
+    ids = jnp.arange(k)
+    key = jnp.where(kf_loc, ids, -1)
+    top = jnp.sort(jax.lax.top_k(key, kw)[0])           # [-1.. or ids]
+    win_ids = top                                        # [kw]
+    win_ok = win_ids >= 0
+    win_ids_safe = jnp.where(win_ok, win_ids, 0)
+    # global kf -> window slot map
+    kf2slot = jnp.full(k, -1, jnp.int32).at[win_ids_safe].set(
+        jnp.where(win_ok, jnp.arange(kw, dtype=jnp.int32), -1), mode="drop")
+
+    pt_loc, ln_loc = local_landmark_masks(cfg, m, cur)
+    pw, lw = cap.n_obs_pt // 2, cap.n_obs_ln // 2
+    pw = min(pw, m.pt_pos.shape[0])
+    lw = min(lw, m.ln_sp.shape[0])
+    p_ids = jax.lax.top_k(jnp.where(pt_loc, jnp.arange(m.pt_pos.shape[0]),
+                                    -1), pw)[0]
+    l_ids = jax.lax.top_k(jnp.where(ln_loc, jnp.arange(m.ln_sp.shape[0]),
+                                    -1), lw)[0]
+    p_ok = p_ids >= 0
+    l_ok = l_ids >= 0
+    p_safe = jnp.where(p_ok, p_ids, 0)
+    l_safe = jnp.where(l_ok, l_ids, 0)
+    pt2slot = jnp.full(m.pt_pos.shape[0], -1, jnp.int32).at[p_safe].set(
+        jnp.where(p_ok, jnp.arange(pw, dtype=jnp.int32), -1), mode="drop")
+    ln2slot = jnp.full(m.ln_sp.shape[0], -1, jnp.int32).at[l_safe].set(
+        jnp.where(l_ok, jnp.arange(lw, dtype=jnp.int32), -1), mode="drop")
+
+    # observation selection: kf in window AND lm in window
+    po_sel = m.po_valid & (kf2slot[m.po_kf] >= 0) & (pt2slot[m.po_lm] >= 0)
+    lo_sel = m.lo_valid & (kf2slot[m.lo_kf] >= 0) & (ln2slot[m.lo_lm] >= 0)
+    op, ol = cap.n_obs_pt, cap.n_obs_ln
+    po_rank = jax.lax.top_k(
+        jnp.where(po_sel, jnp.arange(m.po_kf.shape[0]), -1), op)[0]
+    lo_rank = jax.lax.top_k(
+        jnp.where(lo_sel, jnp.arange(m.lo_kf.shape[0]), -1), ol)[0]
+    po_ok = po_rank >= 0
+    lo_ok = lo_rank >= 0
+    po_i = jnp.where(po_ok, po_rank, 0)
+    lo_i = jnp.where(lo_ok, lo_rank, 0)
+
+    # gauge: the oldest window KF is frozen (:1119); frames outside the
+    # window appear only through frozen landmarks, like the reference's
+    # constant non-local KFs (:1299-1304)
+    first_slot = jnp.argmax(win_ok)  # first valid slot
+    kf_free = win_ok & (jnp.arange(kw) != first_slot)
+
+    prob = BAProblem(
+        kf_pose=m.kf_pose[win_ids_safe],
+        kf_free=kf_free, kf_valid=win_ok,
+        pt_pos=m.pt_pos[p_safe], pt_valid=p_ok,
+        ln_sp=m.ln_sp[l_safe], ln_ep=m.ln_ep[l_safe], ln_valid=l_ok,
+        po_kf=kf2slot[m.po_kf[po_i]], po_lm=pt2slot[m.po_lm[po_i]],
+        po_uv=m.po_uv[po_i], po_sigma2=m.po_sigma2[po_i],
+        po_valid=po_ok,
+        lo_kf=kf2slot[m.lo_kf[lo_i]], lo_lm=ln2slot[m.lo_lm[lo_i]],
+        lo_le=m.lo_le[lo_i], lo_sigma2=m.lo_sigma2[lo_i],
+        lo_valid=lo_ok,
+    )
+    return prob, win_ids, p_ids, l_ids
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def apply_ba_result(cfg: Config, m: MapState, res, win_ids, p_ids, l_ids
+                    ) -> MapState:
+    """Write optimized poses/landmarks back (:1689-1712)."""
+    k = m.kf_pose.shape[0]
+    win_ok = win_ids >= 0
+    kf_dst = jnp.where(win_ok, win_ids, k)
+    kf_pose = m.kf_pose.at[kf_dst].set(res.kf_pose, mode="drop")
+    p_dst = jnp.where(p_ids >= 0, p_ids, m.pt_pos.shape[0])
+    pt_pos = m.pt_pos.at[p_dst].set(res.pt_pos, mode="drop")
+    l_dst = jnp.where(l_ids >= 0, l_ids, m.ln_sp.shape[0])
+    ln_sp = m.ln_sp.at[l_dst].set(res.ln_sp, mode="drop")
+    ln_ep = m.ln_ep.at[l_dst].set(res.ln_ep, mode="drop")
+    return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, ln_sp=ln_sp,
+                      ln_ep=ln_ep)

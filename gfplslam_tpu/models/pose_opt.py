@@ -183,7 +183,7 @@ def remove_outliers(cam: CameraParams, dt: jax.Array, pts: PointMatches,
     return (pts.valid & (rp <= th_p)), (lns.valid & (rl <= th_l))
 
 
-@partial(jax.jit, static_argnames=("opt",))
+@partial(jax.jit, static_argnames=("cam", "opt"))
 def optimize_pose(cam: CameraParams, dt_ini: jax.Array, pts: PointMatches,
                   lns: LineMatches, opt: OptimizerParams,
                   delta_t: jax.Array | float = 1.0 / 20.0) -> PoseResult:

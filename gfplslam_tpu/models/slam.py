@@ -1,0 +1,163 @@
+"""Full SLAM system: tracking front-end + mapping back-end + loop closure.
+
+Role parity with ``plslam_mod``'s main loop + ``MapHandler`` orchestration
+(app/plslam_mod.cpp:318-513, mapHandler.cpp:113-187, 2801-2868): per frame,
+run VO; on a keyframe decision, insert the KF into the map, run local BA,
+cull landmarks, score loop candidates, and on a verified loop run pose-graph
+optimization with rigid landmark correction. The loop-closure state machine
+(LC_IDLE -> LC_ACTIVE -> LC_READY, mapHandler.h:123-156) is host-side; all
+numeric work stays in jitted device programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gfplslam_tpu.config import Config
+from gfplslam_tpu.models import ba as ba_ops
+from gfplslam_tpu.models import loop as loop_ops
+from gfplslam_tpu.models import map as map_ops
+from gfplslam_tpu.models.vo import VisualOdometry
+
+LC_IDLE, LC_ACTIVE, LC_READY = 0, 1, 2
+
+
+@dataclass
+class SLAMSystem:
+    cfg: Config
+    run_local_ba: bool = True
+    run_loop_closure: bool = True
+    vo: VisualOdometry = None
+    map: map_ops.MapState = None
+    loop_state: loop_ops.LoopState = None
+    lc_status: int = LC_IDLE
+    lc_pending: Optional[tuple] = None  # (kf_prev, kf_curr, t_rel)
+    lc_consecutive: int = 0
+    n_loop_closures: int = 0
+    kf_frame_ids: list = field(default_factory=list)
+    kf_timestamps: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.vo is None:
+            self.vo = VisualOdometry(self.cfg)
+        if self.map is None:
+            self.map = map_ops.empty_map(self.cfg)
+        if self.loop_state is None:
+            self.loop_state = loop_ops.empty_loop_state(self.cfg)
+
+    # ------------------------------------------------------------------
+    def process(self, img_l: np.ndarray, img_r: np.ndarray,
+                timestamp: float):
+        """One stereo frame through the full system."""
+        prev_rel = (np.asarray(self.vo.state.t_cam_w)
+                    if self.vo.state is not None else np.eye(4))
+        rec = self.vo.process(img_l, img_r, timestamp)
+        frame = self.vo.prev_frame  # the frame just processed
+
+        if rec.is_kf and not self.vo.lost:
+            kf_idx = int(self.map.n_kf)
+            if kf_idx == 0:
+                self.map = map_ops.initialize_map(self.cfg, self.map, frame)
+            else:
+                # relative pose of this KF wrt the previous KF: the tracker
+                # accumulated t_cam_w since the last KF reset; after the KF
+                # decision vo already re-based, so recompute from records
+                t_rel = np.linalg.inv(
+                    self.kf_pose_world(kf_idx - 1)) @ rec.t_cam_w
+                self.map, _ = map_ops.add_keyframe(
+                    self.cfg, self.map, frame, jnp.asarray(
+                        t_rel.astype(np.float32)))
+                if self.run_local_ba:
+                    self._local_ba()
+                self.map = map_ops.remove_bad_landmarks(self.cfg, self.map)
+            self.loop_state = loop_ops.insert_kf_bow(
+                self.cfg, self.loop_state, jnp.asarray(kf_idx), frame)
+            self.kf_frame_ids.append(self.vo.frame_idx - 1)
+            self.kf_timestamps.append(timestamp)
+            if self.run_loop_closure and kf_idx > 0:
+                self._loop_closure_step(kf_idx)
+        return rec
+
+    # ------------------------------------------------------------------
+    def kf_pose_world(self, kf_idx: int) -> np.ndarray:
+        return np.asarray(self.map.kf_pose[kf_idx])
+
+    def _local_ba(self):
+        prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
+            self.cfg, self.map)
+        res = ba_ops.solve_ba(self.cfg.camera, prob,
+                              lambda0=self.cfg.slam.lambda_lba_lm,
+                              lambda_k=self.cfg.slam.lambda_lba_k,
+                              max_iters=self.cfg.slam.max_iters_lba)
+        self.map = map_ops.apply_ba_result(self.cfg, self.map, res,
+                                           win_ids, p_ids, l_ids)
+
+    def _loop_closure_step(self, kf_curr: int):
+        """lookForLoopCandidates -> isLoopClosure -> state machine
+        (loopClosure, mapHandler.cpp:2801-2868)."""
+        cand = int(loop_ops.look_for_loop_candidates(
+            self.cfg, self.loop_state, self.map.full_graph,
+            jnp.asarray(kf_curr)))
+        if cand < 0:
+            if self.lc_status == LC_ACTIVE:
+                self.lc_consecutive = 0
+                self.lc_status = LC_IDLE
+            return
+        ver = loop_ops.verify_loop(self.cfg, self.loop_state,
+                                   jnp.asarray(cand), jnp.asarray(kf_curr))
+        if not bool(ver.accepted):
+            return
+        self.lc_consecutive += 1
+        self.lc_pending = (cand, kf_curr, np.asarray(ver.t_rel))
+        if self.lc_status == LC_IDLE:
+            self.lc_status = LC_ACTIVE
+        # close as soon as verified (the reference defers via LC_READY; one
+        # consistent verification suffices given the 5 geometric gates)
+        self._close_loop()
+
+    def _close_loop(self):
+        if self.lc_pending is None:
+            return
+        kf_prev, kf_curr, t_rel = self.lc_pending
+        m = self.map
+        # LC edge measurement: T_prev^-1 T_curr = inverse of verified
+        # T_curr<-prev mapped into pose-graph convention
+        t_rel_inv = np.linalg.inv(t_rel)
+        edges = loop_ops.build_edges(
+            m.kf_pose, m.kf_valid, m.full_graph,
+            self.cfg.slam.min_lm_ess_graph,
+            jnp.asarray(kf_prev), jnp.asarray(kf_curr),
+            jnp.asarray(t_rel_inv.astype(np.float32)),
+            max_edges=int(m.kf_pose.shape[0] * 4))
+        fixed = jnp.zeros(m.kf_pose.shape[0], bool).at[0].set(True)
+        fixed = fixed.at[kf_prev].set(True)
+        new_poses = loop_ops.optimize_pose_graph(
+            m.kf_pose, m.kf_valid, edges, fixed,
+            iters=min(self.cfg.slam.max_iters_pgo, 50))
+        pt_pos = loop_ops.rigid_correct_landmarks(
+            m.kf_pose, new_poses, m.pt_pos, m.pt_last_kf, m.pt_valid)
+        ln_sp = loop_ops.rigid_correct_landmarks(
+            m.kf_pose, new_poses, m.ln_sp, m.ln_last_kf, m.ln_valid)
+        ln_ep = loop_ops.rigid_correct_landmarks(
+            m.kf_pose, new_poses, m.ln_ep, m.ln_last_kf, m.ln_valid)
+        self.map = m._replace(kf_pose=new_poses, pt_pos=pt_pos,
+                              ln_sp=ln_sp, ln_ep=ln_ep)
+        self.n_loop_closures += 1
+        self.lc_pending = None
+        self.lc_status = LC_IDLE
+        self.lc_consecutive = 0
+
+    # ------------------------------------------------------------------
+    def finish(self):
+        """Flush a pending loop closure (finishSLAM, mapHandler.cpp:96-111)."""
+        if self.lc_pending is not None:
+            self._close_loop()
+
+    @property
+    def keyframe_trajectory(self) -> np.ndarray:
+        n = int(self.map.n_kf)
+        return np.asarray(self.map.kf_pose[:n])

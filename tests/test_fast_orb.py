@@ -7,12 +7,13 @@ import pytest
 from gfplslam_tpu.ops import fast, orb, pyramid
 
 
-def checkerboard(h=64, w=64, sq=16):
+def square_grid(h=64, w=64, sq=16):
+    """Isolated bright squares: their corners are genuine FAST-9 corners
+    (checkerboard X-junctions are not — no 9-long contiguous arc)."""
     img = np.zeros((h, w), np.float32)
-    for i in range(0, h, sq):
-        for j in range(0, w, sq):
-            if ((i // sq) + (j // sq)) % 2 == 0:
-                img[i:i + sq, j:j + sq] = 200.0
+    for i in range(2, h - sq, 2 * sq):
+        for j in range(2, w - sq, 2 * sq):
+            img[i:i + sq, j:j + sq] = 200.0
     return img
 
 
@@ -53,7 +54,7 @@ def test_fast_agrees_with_cv2():
 
 
 def test_select_keypoints_shapes_and_spread():
-    img = checkerboard()
+    img = square_grid()
     s = fast.fast_score_map(jnp.asarray(img), 20.0)
     kps = fast.select_keypoints(s, n_out=64, cell=16, per_cell=2, border=4)
     assert kps.xy.shape == (64, 2)
