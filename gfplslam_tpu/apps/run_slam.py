@@ -1,0 +1,152 @@
+"""CLI driver: full SLAM / VO on a dataset or synthetic sequence.
+
+Parity with app/plslam_mod.cpp (main driver, :54-577) and plstvo_mod
+(VO-only): runs the engine over a sequence, writes TUM all-frame + keyframe
+trajectories and the per-frame TimeLog, and reports ATE when ground truth is
+available. Supports the legacy drivers' -o/-n/-s frame offset/count/stride
+flags (plslam_dataset.cpp:64-69).
+
+Usage:
+  python -m gfplslam_tpu.apps.run_slam --synthetic --frames 30 -o /tmp/out
+  python -m gfplslam_tpu.apps.run_slam --euroc /data/MH_01_easy -o out
+  python -m gfplslam_tpu.apps.run_slam --kitti /data/kitti/00 -o out --vo-only
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU PL-SLAM driver")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--synthetic", action="store_true")
+    src.add_argument("--euroc", metavar="DIR")
+    src.add_argument("--kitti", metavar="DIR")
+    ap.add_argument("-o", "--out", default="/tmp/gfplslam",
+                    help="output prefix")
+    ap.add_argument("-n", "--frames", type=int, default=0,
+                    help="max frames (0 = all)")
+    ap.add_argument("--offset", type=int, default=0, help="first frame")
+    ap.add_argument("-s", "--stride", type=int, default=1)
+    ap.add_argument("--vo-only", action="store_true",
+                    help="tracking only, no mapping back-end (plstvo mode)")
+    ap.add_argument("--no-lines", action="store_true")
+    ap.add_argument("--no-loop-closure", action="store_true")
+    ap.add_argument("--small", action="store_true",
+                    help="reduced capacities (fast CPU runs)")
+    args = ap.parse_args(argv)
+
+    from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
+                                     OrbParams, StvoParams)
+    from gfplslam_tpu.io import synthetic as synth
+    from gfplslam_tpu.utils.trajectory import ate_rmse, write_tum
+
+    # ---- source ----
+    if args.synthetic:
+        n = args.frames or 30
+        world = synth.make_world(n_frames=n, seed=0)
+        cam = world.cam
+        def frames():
+            for i in range(args.offset, n, args.stride):
+                il, ir = synth.render_frame(world, i)
+                yield world.timestamps[i], il, ir
+        gt = world.poses[args.offset::args.stride]
+        gt_ts = world.timestamps[args.offset::args.stride]
+    else:
+        from gfplslam_tpu.io.datasets import load_euroc, load_kitti
+        from gfplslam_tpu.io import native_loader
+        seq = (load_euroc(args.euroc) if args.euroc
+               else load_kitti(args.kitti))
+        cam = seq.cam
+        idx = range(args.offset,
+                    len(seq.paths_l) if not args.frames
+                    else min(args.offset + args.frames, len(seq.paths_l)),
+                    args.stride)
+        paths_l = [seq.paths_l[i] for i in idx]
+        paths_r = [seq.paths_r[i] for i in idx]
+        ts_sel = [seq.timestamps[i] for i in idx]
+        maps = None
+        if seq.maps is not None:
+            maps = (seq.maps.map_x_l, seq.maps.map_y_l,
+                    seq.maps.map_x_r, seq.maps.map_y_r)
+        loader = native_loader.StereoLoader(
+            paths_l, paths_r, cam.width, cam.height, maps=maps,
+            n_threads=4, queue_depth=6)
+        def frames():
+            for k, il, ir in loader:
+                yield ts_sel[k], il, ir
+        gt, gt_ts = seq.gt_poses, seq.gt_timestamps
+
+    cfg = Config(
+        camera=cam,
+        cap=(CapacityParams(n_pt=256, n_ln=128) if args.small
+             else CapacityParams()),
+        orb=(OrbParams(nlevels=2) if args.small else OrbParams()),
+        stvo=StvoParams(has_lines=not args.no_lines),
+    )
+
+    # ---- engine ----
+    if args.vo_only:
+        from gfplslam_tpu.models.vo import VisualOdometry
+        engine = VisualOdometry(cfg)
+        process = engine.process
+    else:
+        from gfplslam_tpu.models.slam import SLAMSystem
+        engine = SLAMSystem(cfg,
+                            run_loop_closure=not args.no_loop_closure)
+        process = engine.process
+
+    t0 = time.perf_counter()
+    n_done = 0
+    for ts, il, ir in frames():
+        rec = process(il, ir, float(ts))
+        n_done += 1
+        if n_done % 10 == 0:
+            print(f"frame {n_done}: kf={rec.is_kf} "
+                  f"pt={rec.n_pt} ln={rec.n_ln}", file=sys.stderr)
+        vo = engine if args.vo_only else engine.vo
+        if vo.lost:
+            print("TRACK LOST — terminating early "
+                  "(max_num_frame_loss)", file=sys.stderr)
+            break
+    if not args.vo_only:
+        engine.finish()
+    wall = time.perf_counter() - t0
+
+    # ---- outputs (plslam_mod.cpp:488-566 file set) ----
+    vo = engine if args.vo_only else engine.vo
+    write_tum(args.out + "_AllFrameTrajectory.txt", vo.timestamps,
+              vo.trajectory)
+    kf_recs = [r for r in vo.records if r.is_kf]
+    write_tum(args.out + "_KeyFrameTrajectory.txt",
+              [r.timestamp for r in kf_recs],
+              [r.t_cam_w for r in kf_recs])
+    vo.timelog.write(args.out + "_Log.txt")
+
+    summary = {"frames": n_done, "fps": round(n_done / wall, 2),
+               "keyframes": len(kf_recs), "lost": vo.lost}
+    if gt is not None and len(gt):
+        if args.synthetic:
+            m = min(len(vo.trajectory), len(gt))
+            summary["ate_rmse"] = round(
+                float(ate_rmse(vo.trajectory[:m], gt[:m])), 4)
+        else:
+            from gfplslam_tpu.io.datasets import associate_gt
+            keep, gtp = associate_gt(vo.timestamps, gt_ts, gt)
+            if len(keep) > 3:
+                summary["ate_rmse"] = round(
+                    float(ate_rmse(vo.trajectory[keep], gtp)), 4)
+    if not args.vo_only:
+        summary["loop_closures"] = engine.n_loop_closures
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

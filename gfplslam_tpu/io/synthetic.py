@@ -42,10 +42,13 @@ def make_world(n_frames: int = 30, n_points: int = 600, n_lines: int = 60,
                               baseline=0.11)
     pts = np.stack([rng.uniform(-6, 6, n_points),
                     rng.uniform(-4, 4, n_points),
-                    rng.uniform(1.0, 40.0, n_points)], 1)
+                    rng.uniform(1.0, 30.0, n_points)], 1)
+    # lines stay near enough that endpoint disparity is measurable — the
+    # reference's line_cov_th legitimately rejects lines with sub-3px
+    # disparity (stereoFrame.cpp:706-759)
     s = np.stack([rng.uniform(-6, 6, n_lines),
                   rng.uniform(-4, 4, n_lines),
-                  rng.uniform(1.5, 40.0, n_lines)], 1)
+                  rng.uniform(1.5, 10.0, n_lines)], 1)
     d = rng.normal(size=(n_lines, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     e = s + d * rng.uniform(0.8, 3.0, (n_lines, 1))
@@ -74,12 +77,13 @@ def make_world(n_frames: int = 30, n_points: int = 600, n_lines: int = 60,
                           poses=np.stack(poses), timestamps=np.asarray(ts))
 
 
-def _paint_point(img, u, v, val=230.0):
+def _paint_point(img, u, v, pattern):
+    """Paint a unique 5x5 texture patch per landmark so descriptors are
+    discriminative (identical blobs make BRIEF matching ambiguous)."""
     h, w = img.shape
     ui, vi = int(round(u)), int(round(v))
-    if 2 <= vi < h - 2 and 2 <= ui < w - 2:
-        img[vi - 1:vi + 2, ui - 1:ui + 2] = val * 0.7
-        img[vi, ui] = val
+    if 3 <= vi < h - 3 and 3 <= ui < w - 3:
+        img[vi - 2:vi + 3, ui - 2:ui + 3] = pattern
 
 
 def _paint_segment(img, u0, v0, u1, v1, val=255.0):
@@ -122,11 +126,14 @@ def render_frame(world: SyntheticWorld, frame_idx: int, noise: float = 2.0,
         img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1)
                + np.roll(img, (1, 1), (0, 1))) / 4.0
         pc = to_cam(world.points.copy(), shift)
-        vis = pc[:, 2] > 0.3
+        vis = np.nonzero(pc[:, 2] > 0.3)[0]
         u = cam.fx * pc[vis, 0] / pc[vis, 2] + cam.cx
         v = cam.fy * pc[vis, 1] / pc[vis, 2] + cam.cy
-        for ui, vi in zip(u, v):
-            _paint_point(img, ui, vi)
+        for pi, ui, vi in zip(vis, u, v):
+            prng = np.random.default_rng(1000 + int(pi))
+            pattern = prng.uniform(90, 255, (5, 5)).astype(np.float32)
+            pattern[2, 2] = 255.0
+            _paint_point(img, ui, vi, pattern)
         sc = to_cam(world.seg_start.copy(), shift)
         ec = to_cam(world.seg_end.copy(), shift)
         ok = (sc[:, 2] > 0.3) & (ec[:, 2] > 0.3)

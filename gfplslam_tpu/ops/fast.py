@@ -106,7 +106,23 @@ def select_keypoints(score: jax.Array, n_out: int, cell: int = 32,
     k = min(n_out, flat_s.shape[0])
     sel_s, sel_i = jax.lax.top_k(flat_s, k)
     pad = n_out - k
-    xy = jnp.stack([flat_x[sel_i], flat_y[sel_i]], axis=-1).astype(jnp.float32)
+    sx = flat_x[sel_i]
+    sy = flat_y[sel_i]
+    # sub-pixel localization: 1D parabola fits on the (pre-NMS) score map in
+    # x and y. Integer corners quantize inter-frame flow to >=1 px, which
+    # destroys small-baseline motion estimates.
+    def parab(sm1, s0, sp1):
+        denom = sm1 - 2.0 * s0 + sp1
+        off = 0.5 * (sm1 - sp1) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        return jnp.clip(off, -0.5, 0.5)
+    sxc = jnp.clip(sx, 1, pw - 2)
+    syc = jnp.clip(sy, 1, ph - 2)
+    # gather raw scores around each corner from the padded pre-NMS map
+    raw = jnp.pad(score, ((0, ph - h), (0, pw - w)))
+    dx_off = parab(raw[syc, sxc - 1], raw[syc, sxc], raw[syc, sxc + 1])
+    dy_off = parab(raw[syc - 1, sxc], raw[syc, sxc], raw[syc + 1, sxc])
+    xy = jnp.stack([sx.astype(jnp.float32) + dx_off,
+                    sy.astype(jnp.float32) + dy_off], axis=-1)
     out_s = sel_s
     if pad > 0:
         xy = jnp.pad(xy, ((0, pad), (0, 0)))

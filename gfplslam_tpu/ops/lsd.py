@@ -42,10 +42,13 @@ class LineSegments(NamedTuple):
     valid: jax.Array   # [N] bool
 
 
-def _angle_diff_mod_pi(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Smallest difference between orientations defined modulo pi."""
-    d = jnp.abs(a - b) % jnp.pi
-    return jnp.minimum(d, jnp.pi - d)
+def _angle_diff_mod_2pi(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Smallest circular difference between level-line angles (mod 2pi).
+
+    LSD compares level-line angles on the full circle, so the two edges of a
+    bright ridge (opposite gradient signs) grow into separate regions."""
+    d = jnp.abs(a - b) % (2 * jnp.pi)
+    return jnp.minimum(d, 2 * jnp.pi - d)
 
 
 def _propagate_labels(labels: jax.Array, support: jax.Array,
@@ -69,7 +72,7 @@ def _propagate_labels(labels: jax.Array, support: jax.Array,
                 xx = jnp.arange(w)[None, :]
                 inb = ((yy - dy >= 0) & (yy - dy < h) &
                        (xx - dx >= 0) & (xx - dx < w))
-                ok = ns & inb & (_angle_diff_mod_pi(angle, na) < ang_tol)
+                ok = ns & inb & (_angle_diff_mod_2pi(angle, na) < ang_tol)
                 best = jnp.minimum(best, jnp.where(ok, nl, big))
         return jnp.where(support, best, big)
 
