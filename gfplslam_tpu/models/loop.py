@@ -45,14 +45,15 @@ N_KF_PT = 256   # stereo points snapshotted per KF for LC verification
 N_KF_LN = 128
 
 
-def make_vocab(v: int = 256, seed: int = 31) -> np.ndarray:
+def make_vocab(v: int = 1024, seed: int = 31) -> np.ndarray:
     """[V, 8] uint32 anchor descriptors (deterministic)."""
     rng = np.random.default_rng(seed)
     return rng.integers(0, 2 ** 32, size=(v, 8), dtype=np.uint32)
 
 
-VOCAB_P = make_vocab(seed=31)
-VOCAB_L = make_vocab(seed=67)
+# master anchor pools; the active vocabulary is the first cfg.cap.vocab_k
+_VOCAB_P_FULL = make_vocab(seed=31)
+_VOCAB_L_FULL = make_vocab(seed=67)
 
 
 class LoopState(NamedTuple):
@@ -131,8 +132,9 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     score = (sp*n_pt + sl*n_ln)/n_pl + (sp*std_pt + sl*std_ln)/std_pl."""
     f = frame.points
     fl = frame.lines
-    bow_p = bow_vector(f.desc, f.valid, VOCAB_P)
-    bow_l = bow_vector(fl.desc, fl.valid, VOCAB_L)
+    v = cfg.cap.vocab_k
+    bow_p = bow_vector(f.desc, f.valid, _VOCAB_P_FULL[:v])
+    bow_l = bow_vector(fl.desc, fl.valid, _VOCAB_L_FULL[:v])
     n_pt = jnp.sum(f.valid)
     n_ln = jnp.sum(fl.valid)
     std_pt = (_masked_stdv(f.xy[:, 0], f.valid)

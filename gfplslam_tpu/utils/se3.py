@@ -55,8 +55,12 @@ def so3_exp(phi: jax.Array) -> jax.Array:
 
 
 def so3_log(r: jax.Array) -> jax.Array:
-    """3x3 rotation matrix -> rotation vector (auxiliar.cpp:185-210 behavior)."""
-    cos_t = jnp.clip((jnp.trace(r) - 1.0) * 0.5, -1.0, 1.0)
+    """3x3 rotation matrix -> rotation vector (auxiliar.cpp:185-210 behavior).
+
+    The arccos argument is clipped strictly inside (-1, 1) so forward-mode
+    differentiation (pose-graph edge Jacobians) stays finite at the identity
+    — arccos'(+-1) is infinite and 0*inf tangents poison jacfwd."""
+    cos_t = jnp.clip((jnp.trace(r) - 1.0) * 0.5, -1.0 + 1e-6, 1.0 - 1e-6)
     theta = jnp.arccos(cos_t)
     w = 0.5 * jnp.stack([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
     # near theta=0: log ~= w ; near theta=pi use axis from diagonal

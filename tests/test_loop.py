@@ -1,0 +1,125 @@
+"""Loop closure: BoW scoring, candidate gating, verification, PGO."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfplslam_tpu.config import CameraParams, CapacityParams, Config, OrbParams, SlamParams
+from gfplslam_tpu.io import synthetic
+from gfplslam_tpu.models import frame as frame_mod
+from gfplslam_tpu.models import loop as loop_ops
+from gfplslam_tpu.utils import se3
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        cap=CapacityParams(n_pt=256, n_ln=128, n_kf_max=32, vocab_k=128),
+        orb=OrbParams(nlevels=2),
+        camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
+                            cx=183.7, cy=126.1, baseline=0.11),
+        slam=SlamParams(lc_kf_dist=4, lc_kf_max_dist=3, lc_nkf_closest=1),
+    )
+
+
+def make_frames(cfg, n, seed=8, revisit=None):
+    world = synthetic.make_world(n_frames=n, n_points=250, n_lines=40,
+                                 seed=seed)
+    if revisit is not None:
+        # last pose revisits an earlier pose
+        world.poses[-1] = world.poses[revisit].copy()
+    fs = []
+    for i in range(n):
+        il, ir = synthetic.render_frame(world, i, noise=1.0)
+        fs.append(frame_mod.process_stereo_pair(
+            jnp.asarray(il), jnp.asarray(ir), cfg, jnp.asarray(20.0)))
+    return world, fs
+
+
+def test_bow_self_similarity(cfg):
+    world, fs = make_frames(cfg, 3)
+    ls = loop_ops.empty_loop_state(cfg)
+    for i, f in enumerate(fs):
+        ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(i), f)
+    v0 = ls.bow_p[0]
+    # same frame scores 1.0 with itself; different frames score less
+    assert abs(float(loop_ops.l1_score(v0, v0)) - 1.0) < 1e-5
+    s01 = float(loop_ops.l1_score(v0, ls.bow_p[1]))
+    assert 0.0 < s01 < 1.0
+
+
+def test_bow_revisit_scores_high(cfg):
+    world, fs = make_frames(cfg, 8, revisit=0)
+    ls = loop_ops.empty_loop_state(cfg)
+    for i, f in enumerate(fs):
+        ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(i), f)
+    conf = np.asarray(ls.conf)
+    # the revisit frame (7) must score higher with frame 0 than with
+    # mid-sequence frames far from pose 0
+    assert conf[7, 0] > conf[7, 4], conf[7, :8]
+
+
+def test_verify_loop_recovers_relative_pose(cfg):
+    world, fs = make_frames(cfg, 8, revisit=1)
+    ls = loop_ops.empty_loop_state(cfg)
+    for i, f in enumerate(fs):
+        ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(i), f)
+    ver = loop_ops.verify_loop(cfg, ls, jnp.asarray(1), jnp.asarray(7))
+    assert bool(ver.accepted), (float(ver.err), int(ver.n_inliers))
+    # frames 1 and 7 share the same pose -> relative pose ~ identity
+    tw = np.asarray(se3.logmap_se3(ver.t_rel))
+    assert np.linalg.norm(tw) < 0.05, tw
+
+
+def test_verify_loop_rejects_unrelated(cfg):
+    # two worlds with different content: verification must fail
+    world_a, fs_a = make_frames(cfg, 2, seed=8)
+    world_b, fs_b = make_frames(cfg, 2, seed=99)
+    ls = loop_ops.empty_loop_state(cfg)
+    ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(0), fs_a[0])
+    ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(1), fs_b[0])
+    ver = loop_ops.verify_loop(cfg, ls, jnp.asarray(0), jnp.asarray(1))
+    assert not bool(ver.accepted)
+
+
+def test_pose_graph_closes_drift():
+    """A drifted circular pose chain + one exact loop edge: PGO must pull
+    the endpoints together."""
+    k = 8
+    poses = [np.eye(4, dtype=np.float32)]
+    # true motion: 0.2m steps in +x; estimated chain drifts in y
+    for i in range(1, k):
+        t = np.eye(4, dtype=np.float32)
+        t[0, 3] = 0.2
+        t[1, 3] = 0.02  # drift
+        poses.append(poses[-1] @ t)
+    poses = jnp.asarray(np.stack(poses))
+    valid = jnp.ones(k, bool)
+    # loop edge: KF7 is truly at x=1.4, y=0 relative to KF0
+    t_meas = np.eye(4, dtype=np.float32)
+    t_meas[0, 3] = 1.4
+    edges = loop_ops.build_edges(poses, valid,
+                                 jnp.zeros((k, k), jnp.int32), 100,
+                                 jnp.asarray(0), jnp.asarray(k - 1),
+                                 jnp.asarray(t_meas), max_edges=16)
+    fixed = jnp.zeros(k, bool).at[0].set(True)
+    new_poses = loop_ops.optimize_pose_graph(poses, valid, edges, fixed,
+                                             iters=30)
+    end = np.asarray(new_poses[-1])
+    assert abs(end[0, 3] - 1.4) < 0.03, end[:3, 3]
+    assert abs(end[1, 3]) < 0.05, end[:3, 3]
+    # gauge KF unchanged
+    np.testing.assert_allclose(np.asarray(new_poses[0]), np.eye(4), atol=1e-5)
+
+
+def test_rigid_correct_landmarks():
+    kf_old = jnp.asarray(np.stack([np.eye(4, dtype=np.float32)] * 2))
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = [1.0, 0, 0]
+    kf_new = jnp.asarray(np.stack([np.eye(4, dtype=np.float32), shift]))
+    lm = jnp.asarray([[0.0, 0, 5], [0.0, 0, 5]])
+    lm_kf = jnp.asarray([0, 1], jnp.int32)
+    out = loop_ops.rigid_correct_landmarks(kf_old, kf_new, lm, lm_kf,
+                                           jnp.ones(2, bool))
+    np.testing.assert_allclose(np.asarray(out[0]), [0, 0, 5], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), [1, 0, 5], atol=1e-6)

@@ -1,0 +1,117 @@
+"""Map back-end: KF insertion, landmark pools, covisibility, BA windows."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gfplslam_tpu.config import CameraParams, CapacityParams, Config, OrbParams
+from gfplslam_tpu.io import synthetic
+from gfplslam_tpu.models import frame as frame_mod
+from gfplslam_tpu.models import map as map_ops
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        cap=CapacityParams(n_pt=256, n_ln=128, n_kf_window=4, n_kf_max=32,
+                           n_map_pt=2048, n_map_ln=512,
+                           n_obs_pt=1024, n_obs_ln=256),
+        orb=OrbParams(nlevels=2),
+        camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
+                            cx=183.7, cy=126.1, baseline=0.11),
+    )
+
+
+@pytest.fixture(scope="module")
+def frames(cfg):
+    world = synthetic.make_world(n_frames=4, n_points=250, n_lines=40, seed=6)
+    out = []
+    for i in range(4):
+        il, ir = synthetic.render_frame(world, i, noise=1.0)
+        out.append(frame_mod.process_stereo_pair(
+            jnp.asarray(il), jnp.asarray(ir), cfg, jnp.asarray(20.0)))
+    return world, out
+
+
+def test_initialize_creates_landmarks(cfg, frames):
+    world, fs = frames
+    m = map_ops.empty_map(cfg)
+    m = map_ops.initialize_map(cfg, m, fs[0])
+    assert int(m.n_kf) == 1
+    n_pt = int(jnp.sum(m.pt_valid))
+    assert n_pt == int(jnp.sum(fs[0].points.valid))
+    assert int(jnp.sum(m.po_valid)) == n_pt
+
+
+def test_add_keyframe_associates(cfg, frames):
+    world, fs = frames
+    m = map_ops.empty_map(cfg)
+    m = map_ops.initialize_map(cfg, m, fs[0])
+    t_rel = np.linalg.inv(world.poses[0]) @ world.poses[1]
+    m2, match = map_ops.add_keyframe(cfg, m, fs[1],
+                                     jnp.asarray(t_rel.astype(np.float32)))
+    assert int(m2.n_kf) == 2
+    # a healthy fraction of features should associate to existing landmarks
+    n_matched = int(match.n_pt_matched)
+    assert n_matched > 20, n_matched
+    # covisibility count between KF0 and KF1 reflects shared landmarks
+    assert int(m2.full_graph[1, 0]) >= n_matched - 5
+    # new landmark count grows by the unmatched features only
+    n_new = int(jnp.sum(m2.pt_valid)) - int(jnp.sum(m.pt_valid))
+    n_feat = int(jnp.sum(fs[1].points.valid))
+    assert n_new == n_feat - n_matched
+
+
+def test_local_ba_problem_shapes(cfg, frames):
+    world, fs = frames
+    m = map_ops.empty_map(cfg)
+    m = map_ops.initialize_map(cfg, m, fs[0])
+    for i in (1, 2):
+        t_rel = np.linalg.inv(world.poses[i - 1]) @ world.poses[i]
+        m, _ = map_ops.add_keyframe(cfg, m, fs[i],
+                                    jnp.asarray(t_rel.astype(np.float32)))
+    prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+    win = np.asarray(win_ids)
+    assert set(win[win >= 0]) == {0, 1, 2}
+    # gauge: exactly one window KF is frozen
+    free = np.asarray(prob.kf_free)
+    valid = np.asarray(prob.kf_valid)
+    assert valid.sum() == 3 and free.sum() == 2
+    # observations reference in-window slots only
+    po_kf = np.asarray(prob.po_kf)[np.asarray(prob.po_valid)]
+    assert po_kf.min() >= 0 and po_kf.max() < cfg.cap.n_kf_window
+    assert int(np.asarray(prob.po_valid).sum()) > 50
+
+
+def test_local_ba_improves_or_keeps_map(cfg, frames):
+    from gfplslam_tpu.models import ba as ba_ops
+    world, fs = frames
+    m = map_ops.empty_map(cfg)
+    m = map_ops.initialize_map(cfg, m, fs[0])
+    for i in (1, 2, 3):
+        t_rel = np.linalg.inv(world.poses[i - 1]) @ world.poses[i]
+        m, _ = map_ops.add_keyframe(cfg, m, fs[i],
+                                    jnp.asarray(t_rel.astype(np.float32)))
+    prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+    res = ba_ops.solve_ba(cfg.camera, prob, max_iters=10)
+    assert np.isfinite(float(res.err))
+    m2 = map_ops.apply_ba_result(cfg, m, res, win_ids, p_ids, l_ids)
+    assert np.all(np.isfinite(np.asarray(m2.kf_pose[:4])))
+    # KF poses stay near their odometry initialization (good init)
+    for i in range(4):
+        d = np.asarray(m2.kf_pose[i]) - np.asarray(m.kf_pose[i])
+        assert np.abs(d).max() < 0.5
+
+
+def test_remove_bad_landmarks(cfg, frames):
+    world, fs = frames
+    m = map_ops.empty_map(cfg)
+    m = map_ops.initialize_map(cfg, m, fs[0])
+    # age the map artificially: pretend current KF is 20
+    m = m._replace(n_kf=jnp.asarray(21, jnp.int32))
+    before = int(jnp.sum(m.pt_valid))
+    m2 = map_ops.remove_bad_landmarks(cfg, m)
+    # all landmarks have 1 obs < min_lm_obs and are stale -> culled
+    assert int(jnp.sum(m2.pt_valid)) == 0
+    assert int(jnp.sum(m2.po_valid)) == 0
+    assert before > 0

@@ -1,0 +1,55 @@
+"""Full SLAM system end-to-end on synthetic sequences."""
+
+import numpy as np
+import pytest
+
+from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
+                                 OrbParams, SlamParams)
+from gfplslam_tpu.io import synthetic
+from gfplslam_tpu.models.slam import SLAMSystem
+from gfplslam_tpu.utils.trajectory import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(
+        cap=CapacityParams(n_pt=256, n_ln=128, n_kf_window=4, n_kf_max=32,
+                           n_map_pt=2048, n_map_ln=512,
+                           n_obs_pt=1024, n_obs_ln=256, vocab_k=128),
+        orb=OrbParams(nlevels=2),
+        camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
+                            cx=183.7, cy=126.1, baseline=0.11),
+    )
+
+
+def test_slam_full_pipeline(cfg):
+    world = synthetic.make_world(n_frames=10, n_points=300, n_lines=40,
+                                 seed=11)
+    slam = SLAMSystem(cfg)
+    for i in range(10):
+        il, ir = synthetic.render_frame(world, i, noise=1.0)
+        slam.process(il, ir, world.timestamps[i])
+    slam.finish()
+    assert not slam.vo.lost
+    n_kf = int(slam.map.n_kf)
+    assert n_kf >= 2
+    # map grew landmarks and observations
+    assert int(np.asarray(slam.map.pt_valid).sum()) > 100
+    assert int(np.asarray(slam.map.po_valid).sum()) > 150
+    # keyframe poses stay finite and near the VO trajectory
+    kf_traj = slam.keyframe_trajectory
+    assert np.all(np.isfinite(kf_traj))
+    rmse = ate_rmse(slam.vo.trajectory, world.poses)
+    assert rmse < 0.08, rmse
+
+
+def test_slam_vo_only_parity(cfg):
+    """With mapping disabled the driver should still produce a trajectory."""
+    world = synthetic.make_world(n_frames=5, n_points=300, n_lines=40,
+                                 seed=12)
+    slam = SLAMSystem(cfg, run_local_ba=False, run_loop_closure=False)
+    for i in range(5):
+        il, ir = synthetic.render_frame(world, i, noise=1.0)
+        slam.process(il, ir, world.timestamps[i])
+    assert len(slam.vo.records) == 5
+    assert int(slam.map.n_kf) >= 1
