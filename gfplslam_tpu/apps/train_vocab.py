@@ -1,0 +1,106 @@
+"""Train binary bag-of-words vocabularies from sequence descriptors.
+
+Parity with DBoW2's offline vocabulary training (the reference ships
+pre-trained ``voc_all_datasets_{orb,bld}.yml`` built with hierarchical
+k-means over ORB/LBD descriptors, TemplatedVocabulary.h:135-162 — the files
+are absent from the snapshot, build.sh:17-20). This trainer runs binary
+k-means (k-majority: cluster center = bitwise majority of members) over
+descriptors harvested from synthetic or dataset frames and writes an anchor
+vocabulary npz that ``models/loop.py`` can load in place of the default
+random anchors.
+
+Usage:
+  python -m gfplslam_tpu.apps.train_vocab --synthetic --frames 20 \
+      -o vocab.npz --words 256
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def unpack_bits(desc: np.ndarray) -> np.ndarray:
+    """[N, 8] uint32 -> [N, 256] uint8 bits."""
+    b = desc.view(np.uint8).reshape(len(desc), -1)
+    return np.unpackbits(b, axis=1, bitorder="little")
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """[N, 256] bits -> [N, 8] uint32."""
+    by = np.packbits(bits.astype(np.uint8), axis=1, bitorder="little")
+    return by.view(np.uint32)
+
+
+def kmajority(desc: np.ndarray, k: int, iters: int = 10,
+              seed: int = 0) -> np.ndarray:
+    """Binary k-means with majority-vote centers (DBoW2's descriptor
+    clustering, TemplatedVocabulary.h initiateClusters/meanValue)."""
+    rng = np.random.default_rng(seed)
+    bits = unpack_bits(desc)
+    centers = bits[rng.choice(len(bits), size=k, replace=len(bits) < k)]
+    for _ in range(iters):
+        # Hamming distances via bit arithmetic on unpacked bits
+        d = np.count_nonzero(bits[:, None, :] != centers[None, :, :], axis=2)
+        assign = d.argmin(1)
+        new_centers = centers.copy()
+        for c in range(k):
+            members = bits[assign == c]
+            if len(members):
+                new_centers[c] = (members.mean(0) > 0.5).astype(np.uint8)
+            else:
+                new_centers[c] = bits[rng.integers(len(bits))]
+        if np.array_equal(new_centers, centers):
+            break
+        centers = new_centers
+    return pack_bits(centers)
+
+
+def harvest_descriptors(args):
+    import jax.numpy as jnp
+    from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
+                                     OrbParams)
+    from gfplslam_tpu.io import synthetic
+    from gfplslam_tpu.models.frame import process_stereo_pair
+
+    cfg = Config(
+        cap=CapacityParams(n_pt=256, n_ln=128), orb=OrbParams(nlevels=2),
+        camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
+                            cx=183.7, cy=126.1, baseline=0.11))
+    world = synthetic.make_world(n_frames=args.frames, seed=17)
+    pt_desc, ln_desc = [], []
+    for i in range(args.frames):
+        il, ir = synthetic.render_frame(world, i)
+        f = process_stereo_pair(jnp.asarray(il), jnp.asarray(ir), cfg,
+                                jnp.asarray(20.0))
+        pv = np.asarray(f.points.valid)
+        lv = np.asarray(f.lines.valid)
+        pt_desc.append(np.asarray(f.points.desc)[pv])
+        ln_desc.append(np.asarray(f.lines.desc)[lv])
+    return np.concatenate(pt_desc), np.concatenate(ln_desc)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--synthetic", action="store_true", required=True)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--words", type=int, default=256)
+    ap.add_argument("-o", "--out", default="vocab.npz")
+    args = ap.parse_args(argv)
+
+    pt_desc, ln_desc = harvest_descriptors(args)
+    print(f"harvested {len(pt_desc)} point / {len(ln_desc)} line descriptors")
+    vp = kmajority(pt_desc, args.words)
+    vl = kmajority(ln_desc, min(args.words, max(16, len(ln_desc) // 4)))
+    if len(vl) < args.words:  # pad with random anchors to the word count
+        rng = np.random.default_rng(5)
+        pad = rng.integers(0, 2 ** 32, size=(args.words - len(vl), 8),
+                           dtype=np.uint32)
+        vl = np.concatenate([vl, pad])
+    np.savez(args.out, vocab_p=vp, vocab_l=vl)
+    print(f"wrote {args.out}: {vp.shape} point words, {vl.shape} line words")
+
+
+if __name__ == "__main__":
+    main()

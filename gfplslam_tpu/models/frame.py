@@ -29,7 +29,8 @@ from gfplslam_tpu.ops import orb as orb_ops
 from gfplslam_tpu.ops import camera as cam_ops
 from gfplslam_tpu.ops.hamming import hamming_matrix
 from gfplslam_tpu.ops.matching import mutual_best
-from gfplslam_tpu.ops.pyramid import build_pyramid, gaussian_blur
+from gfplslam_tpu.ops.pyramid import (build_pyramid_padded, gaussian_blur,
+                                      level_shapes)
 from gfplslam_tpu.utils.robust import masked_median, masked_stdv_mad_nozero
 
 
@@ -93,30 +94,46 @@ def detect_camera_features(img: jax.Array, cfg: Config,
     """Points (all pyramid levels) + lines for one camera image.
 
     Replaces detectFeatures/detectPointFeatures/detectLineFeatures
-    (stereoFrame.cpp:1019-1227); runs as straight-line XLA (the reference's
-    point/line threads become compiler-scheduled independent subgraphs).
+    (stereoFrame.cpp:1019-1227). All pyramid levels run as ONE vmapped
+    program over zero-padded same-shape levels (compile-size + batching win
+    over per-level inlining); the reference's point/line threads become
+    compiler-scheduled independent subgraphs.
     """
     cap = cfg.cap
     orb_cfg = cfg.orb
-    levels = build_pyramid(img, orb_cfg.nlevels, orb_cfg.scale_factor)
-    slots = _per_level_slots(cap.n_pt, orb_cfg.nlevels, orb_cfg.scale_factor)
+    nlv = orb_cfg.nlevels
+    h, w = img.shape
+    pyr = build_pyramid_padded(img, nlv, orb_cfg.scale_factor)  # [L,H,W]
+    shapes = level_shapes(h, w, nlv, orb_cfg.scale_factor)
+    vh = jnp.asarray([s[0] for s in shapes])
+    vw = jnp.asarray([s[1] for s in shapes])
+    # equal slots per level (the reference's 1/1.2^l split is within ~10%
+    # of uniform for 4 levels; uniform keeps the vmap rectangular)
+    slots = cap.n_pt // nlv
 
-    xs, lvls, angs, descs, scores, valids = [], [], [], [], [], []
-    for li, (lv_img, n_slot) in enumerate(zip(levels, slots)):
+    def per_level(lv_img, vh_i, vw_i):
         score = fast_ops.fast_score_map(lv_img, fast_th)
         kp = fast_ops.select_keypoints(
-            score, n_out=n_slot, cell=orb_cfg.grid_cell,
-            per_cell=4, border=orb_cfg.edge_th)
+            score, n_out=slots, cell=orb_cfg.grid_cell, per_cell=4,
+            border=orb_cfg.edge_th, valid_h=vh_i, valid_w=vw_i)
         blur = gaussian_blur(lv_img)
         ang = orb_ops.ic_angles(blur, kp.xy)
         desc = orb_ops.brief_descriptors(blur, kp.xy, ang)
-        scale = orb_cfg.scale_factor ** li
-        xs.append(kp.xy * scale)
-        lvls.append(jnp.full(n_slot, li, jnp.int32))
-        angs.append(ang)
-        descs.append(desc)
-        scores.append(kp.score)
-        valids.append(kp.valid)
+        return kp, ang, desc
+
+    kps, angs, descs = jax.vmap(per_level)(pyr, vh, vw)
+    scale_l = orb_cfg.scale_factor ** jnp.arange(nlv, dtype=jnp.float32)
+    lvl = jnp.repeat(jnp.arange(nlv, dtype=jnp.int32), slots)
+    pad = cap.n_pt - nlv * slots
+
+    def flat(x):
+        x = x.reshape(nlv * slots, *x.shape[2:])
+        if pad:
+            x = jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        return x
+
+    xy0 = flat(kps.xy * scale_l[:, None, None])
+    lvl = jnp.pad(lvl, (0, pad)) if pad else lvl
 
     lines = lsd_ops.detect_lines(
         img, n_out=cfg.cap.n_ln,
@@ -125,68 +142,69 @@ def detect_camera_features(img: jax.Array, cfg: Config,
     ln_desc, _ = lbd_ops.lbd_descriptors(img, lines.sp, lines.ep)
 
     return CameraFeatures(
-        pt_xy=jnp.concatenate(xs), pt_level=jnp.concatenate(lvls),
-        pt_angle=jnp.concatenate(angs), pt_desc=jnp.concatenate(descs),
-        pt_score=jnp.concatenate(scores), pt_valid=jnp.concatenate(valids),
+        pt_xy=xy0, pt_level=lvl,
+        pt_angle=flat(angs), pt_desc=flat(descs),
+        pt_score=flat(kps.score), pt_valid=flat(kps.valid),
         ln_sp=lines.sp, ln_ep=lines.ep, ln_angle=lines.angle,
         ln_desc=ln_desc, ln_valid=lines.valid)
 
 
-def _subpixel_refine(levels: Sequence[jax.Array], scale_factor: float,
+def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
                      xy_l: jax.Array, level_l: jax.Array, u_r0: jax.Array,
                      win: int = 5, search: int = 5):
     """Batched SAD parabola refinement of the right-image column
-    (subPixelStereoRefine_ORBSLAM, stereoFrame.cpp:340-404). Operates on the
-    left/right pyramid pair at each point's octave. Returns refined level-0
-    right u coordinate, and a validity flag."""
-    img_l_levels = levels[0]
-    img_r_levels = levels[1]
-    nlv = len(img_l_levels)
+    (subPixelStereoRefine_ORBSLAM, stereoFrame.cpp:340-404) on the padded
+    [L, H, W] pyramid pair at each point's octave (dynamic level index; no
+    control flow). Returns refined level-0 right u coordinate + validity."""
+    nlv = pyr_l.shape[0]
+    h, w = pyr_l.shape[1:]
+    scales = jnp.asarray(scale_factor, jnp.float32) ** jnp.arange(
+        nlv, dtype=jnp.float32)
 
     def one(xy, lvl, ur0):
-        def at_level(li):
-            il = img_l_levels[li]
-            ir = img_r_levels[li]
-            s = np.float32(scale_factor ** li)
-            ul = xy[0] / s
-            vl = xy[1] / s
-            ur = ur0 / s
-            h, w = il.shape
-            dy = jnp.arange(-win, win + 1)
-            dx = jnp.arange(-win, win + 1)
-            yi = jnp.clip(jnp.round(vl).astype(jnp.int32) + dy, 0, h - 1)
-            xi = jnp.clip(jnp.round(ul).astype(jnp.int32) + dx, 0, w - 1)
-            patch_l = il[yi[:, None], xi[None, :]]
-            patch_l = patch_l - patch_l[win, win]
-            offs = jnp.arange(-search, search + 1)
+        li = jnp.clip(lvl, 0, nlv - 1)
+        il = pyr_l[li]
+        ir = pyr_r[li]
+        s = scales[li]
+        ul = xy[0] / s
+        vl = xy[1] / s
+        ur = ur0 / s
+        dy = jnp.arange(-win, win + 1)
+        dx = jnp.arange(-win, win + 1)
+        yi = jnp.clip(jnp.round(vl).astype(jnp.int32) + dy, 0, h - 1)
+        xi = jnp.clip(jnp.round(ul).astype(jnp.int32) + dx, 0, w - 1)
+        patch_l = il[yi[:, None], xi[None, :]]
+        patch_l = patch_l - patch_l[win, win]
+        # gather the right-image strip once and slide within registers
+        # (per-offset patch gathers were the dominant gather volume)
+        strip_x = jnp.clip(jnp.round(ur).astype(jnp.int32)
+                           + jnp.arange(-search - win, search + win + 1),
+                           0, w - 1)
+        strip = ir[yi[:, None], strip_x[None, :]]   # [2w+1, 2(s+w)+1]
 
-            def sad(off):
-                xo = jnp.clip(jnp.round(ur).astype(jnp.int32) + off + dx, 0, w - 1)
-                patch_r = ir[yi[:, None], xo[None, :]]
-                patch_r = patch_r - patch_r[win, win]
-                return jnp.sum(jnp.abs(patch_l - patch_r))
+        def sad(k):
+            patch_r = jax.lax.dynamic_slice(
+                strip, (0, k), (2 * win + 1, 2 * win + 1))
+            patch_r = patch_r - patch_r[win, win]
+            return jnp.sum(jnp.abs(patch_l - patch_r))
 
-            sads = jax.vmap(sad)(offs)
-            best = jnp.argmin(sads)
-            edge = (best == 0) | (best == 2 * search)
-            bm1 = sads[jnp.clip(best - 1, 0, 2 * search)]
-            b0 = sads[best]
-            bp1 = sads[jnp.clip(best + 1, 0, 2 * search)]
-            denom = jnp.maximum(bm1 + bp1 - 2 * b0, 1e-6)
-            delta = jnp.clip(0.5 * (bm1 - bp1) / denom, -1.0, 1.0)
-            ur_ref = (ur + (best - search) + delta) * s
-            return ur_ref, jnp.logical_not(edge)
-
-        branches = [partial(at_level, li) for li in range(nlv)]
-        return jax.lax.switch(jnp.clip(lvl, 0, nlv - 1), branches)
+        sads = jax.vmap(sad)(jnp.arange(2 * search + 1))
+        best = jnp.argmin(sads)
+        edge = (best == 0) | (best == 2 * search)
+        bm1 = sads[jnp.clip(best - 1, 0, 2 * search)]
+        b0 = sads[best]
+        bp1 = sads[jnp.clip(best + 1, 0, 2 * search)]
+        denom = jnp.maximum(bm1 + bp1 - 2 * b0, 1e-6)
+        delta = jnp.clip(0.5 * (bm1 - bp1) / denom, -1.0, 1.0)
+        ur_ref = (ur + (best - search) + delta) * s
+        return ur_ref, jnp.logical_not(edge)
 
     return jax.vmap(one)(xy_l, level_l, u_r0)
 
 
 def stereo_match_points(cam: CameraParams, cfg: Config,
                         feat_l: CameraFeatures, feat_r: CameraFeatures,
-                        pyr_l: Sequence[jax.Array],
-                        pyr_r: Sequence[jax.Array]) -> StereoPoints:
+                        pyr_l: jax.Array, pyr_r: jax.Array) -> StereoPoints:
     """Row-banded epipolar Hamming matching + sub-pixel refine + median gate
     (extractStereoFeatures_ORBSLAM point block, stereoFrame.cpp:443-630)."""
     th_orb = 80.0  # (TH_HIGH+TH_LOW)/2, :457
@@ -209,7 +227,7 @@ def stereo_match_points(cam: CameraParams, cfg: Config,
     ok = feat_l.pt_valid & (best_d < th_orb)
 
     u_r0 = feat_r.pt_xy[best, 0]
-    u_ref, ref_ok = _subpixel_refine((pyr_l, pyr_r), sf, feat_l.pt_xy,
+    u_ref, ref_ok = _subpixel_refine(pyr_l, pyr_r, sf, feat_l.pt_xy,
                                      feat_l.pt_level, u_r0)
     disp = feat_l.pt_xy[:, 0] - u_ref
     disp = jnp.where(disp <= 0, 0.01, disp)  # :574-577
@@ -333,11 +351,14 @@ def process_stereo_pair(img_l: jax.Array, img_r: jax.Array, cfg: Config,
     """The whole front-end for one rectified stereo pair in one device call
     (extractStereoFeatures_ORBSLAM, stereoFrame.cpp:411-767)."""
     cam = cfg.camera
-    feat_l = detect_camera_features(img_l, cfg, fast_th)
-    feat_r = detect_camera_features(img_r, cfg, fast_th)
-    pyr_l = build_pyramid(img_l, cfg.orb.nlevels, cfg.orb.scale_factor)
-    pyr_r = build_pyramid(img_r, cfg.orb.nlevels, cfg.orb.scale_factor)
-    pts = stereo_match_points(cam, cfg, feat_l, feat_r, pyr_l, pyr_r)
+    feats = jax.vmap(lambda im: detect_camera_features(im, cfg, fast_th))(
+        jnp.stack([img_l, img_r]))
+    feat_l = jax.tree.map(lambda x: x[0], feats)
+    feat_r = jax.tree.map(lambda x: x[1], feats)
+    pyrs = jax.vmap(lambda im: build_pyramid_padded(
+        im, cfg.orb.nlevels, cfg.orb.scale_factor))(
+        jnp.stack([img_l, img_r]))
+    pts = stereo_match_points(cam, cfg, feat_l, feat_r, pyrs[0], pyrs[1])
     lns = stereo_match_lines(cam, cfg, feat_l, feat_r)
     return StereoFrame(points=pts, lines=lns, feat_l=feat_l)
 

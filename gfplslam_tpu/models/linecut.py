@@ -136,7 +136,7 @@ class CutResult(NamedTuple):
 def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
               cov_s: jax.Array, cov_e: jax.Array, pts: PointMatches,
               step: float = 0.05, rng_lo: float = 0.0, rng_hi: float = 1.0,
-              use_logdet: bool = True, max_steps: int = 24) -> CutResult:
+              use_logdet: bool = True, max_steps: int = 10) -> CutResult:
     """Parallel coordinate-ascent line cutting (submodular solver,
     :1618-1764). ``dt`` = T_curr<-prev."""
     m = lns.sp3d.shape[0]

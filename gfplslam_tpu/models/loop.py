@@ -56,10 +56,28 @@ _VOCAB_P_FULL = make_vocab(seed=31)
 _VOCAB_L_FULL = make_vocab(seed=67)
 
 
+def set_vocab(vocab_p: np.ndarray, vocab_l: np.ndarray) -> None:
+    """Install trained vocabularies (apps/train_vocab.py output) in place of
+    the default random anchors — the analog of loading the reference's
+    pre-trained .yml files (config.cpp:59-60)."""
+    global _VOCAB_P_FULL, _VOCAB_L_FULL
+    _VOCAB_P_FULL = np.asarray(vocab_p, np.uint32)
+    _VOCAB_L_FULL = np.asarray(vocab_l, np.uint32)
+    insert_kf_bow.clear_cache()
+
+
+def load_vocab(path: str) -> None:
+    data = np.load(path)
+    set_vocab(data["vocab_p"], data["vocab_l"])
+
+
 class LoopState(NamedTuple):
     """Per-KF BoW vectors + feature snapshots + confusion matrix."""
-    bow_p: jax.Array      # [K, V] tf histograms (points)
+    bow_p: jax.Array      # [K, V] raw tf histograms (points)
     bow_l: jax.Array      # [K, V] (lines)
+    df_p: jax.Array       # [V] document frequencies (tf-idf weighting,
+    df_l: jax.Array       # [V]  TemplatedVocabulary tf-idf semantics)
+    n_docs: jax.Array     # int32
     n_pt: jax.Array       # [K] feature counts
     n_ln: jax.Array
     std_pt: jax.Array     # [K] spatial dispersion (vector_stdv x + y)
@@ -82,6 +100,8 @@ def empty_loop_state(cfg: Config) -> LoopState:
     v = cfg.cap.vocab_k
     return LoopState(
         bow_p=jnp.zeros((k, v)), bow_l=jnp.zeros((k, v)),
+        df_p=jnp.zeros(v, jnp.int32), df_l=jnp.zeros(v, jnp.int32),
+        n_docs=jnp.asarray(0, jnp.int32),
         n_pt=jnp.zeros(k, jnp.int32), n_ln=jnp.zeros(k, jnp.int32),
         std_pt=jnp.zeros(k), std_ln=jnp.zeros(k),
         conf=jnp.zeros((k, k)),
@@ -96,12 +116,21 @@ def empty_loop_state(cfg: Config) -> LoopState:
 
 def bow_vector(desc: jax.Array, valid: jax.Array, vocab: jax.Array
                ) -> jax.Array:
-    """tf histogram over nearest-anchor words, L1-normalized
-    (TemplatedVocabulary::transform semantics on a flat vocabulary)."""
+    """Raw tf histogram over nearest-anchor words
+    (TemplatedVocabulary::transform on a flat vocabulary; idf weighting and
+    L1 normalization are applied at scoring time from current document
+    frequencies)."""
     d = hamming_matrix(desc, jnp.asarray(vocab), valid_a=valid)
     word = jnp.argmin(d, axis=1)
-    hist = jnp.zeros(vocab.shape[0]).at[word].add(valid.astype(jnp.float32))
-    return hist / jnp.maximum(jnp.sum(hist), 1e-9)
+    return jnp.zeros(vocab.shape[0]).at[word].add(valid.astype(jnp.float32))
+
+
+def _idf_normalize(tf: jax.Array, df: jax.Array, n_docs: jax.Array
+                   ) -> jax.Array:
+    """tf-idf weight + L1 normalize ([K?, V] tf against shared df)."""
+    idf = jnp.log((n_docs + 1.0) / (df.astype(jnp.float32) + 1.0))
+    v = tf * idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v), axis=-1, keepdims=True), 1e-9)
 
 
 def l1_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
@@ -143,8 +172,13 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     std_ln = (_masked_stdv(mid[:, 0], fl.valid)
               + _masked_stdv(mid[:, 1], fl.valid))
 
-    sp = l1_score(bow_p[None], ls.bow_p)     # [K]
-    sl = l1_score(bow_l[None], ls.bow_l)
+    df_p = ls.df_p + (bow_p > 0)
+    df_l = ls.df_l + (bow_l > 0)
+    n_docs = ls.n_docs + 1
+    sp = l1_score(_idf_normalize(bow_p[None], df_p, n_docs),
+                  _idf_normalize(ls.bow_p, df_p, n_docs))     # [K]
+    sl = l1_score(_idf_normalize(bow_l[None], df_l, n_docs),
+                  _idf_normalize(ls.bow_l, df_l, n_docs))
     n_pl = jnp.maximum(n_pt + n_ln, 1)
     std_pl = jnp.maximum(std_pt + std_ln, 1e-9)
     score = ((sp * n_pt + sl * n_ln) / n_pl
@@ -160,6 +194,7 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     return ls._replace(
         bow_p=ls.bow_p.at[kf_idx].set(bow_p),
         bow_l=ls.bow_l.at[kf_idx].set(bow_l),
+        df_p=df_p, df_l=df_l, n_docs=n_docs,
         n_pt=ls.n_pt.at[kf_idx].set(n_pt),
         n_ln=ls.n_ln.at[kf_idx].set(n_ln),
         std_pt=ls.std_pt.at[kf_idx].set(std_pt),

@@ -337,19 +337,27 @@ def remove_bad_landmarks(cfg: Config, m: MapState) -> MapState:
         lo_valid=m.lo_valid & ln_valid[m.lo_lm])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def build_local_ba_problem(cfg: Config, m: MapState) -> tuple[
+@partial(jax.jit, static_argnames=("cfg", "window", "global_ba"))
+def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
+                           global_ba: bool = False) -> tuple[
         BAProblem, jax.Array, jax.Array, jax.Array]:
     """Assemble the padded local-BA window for the newest KF
     (localBundleAdjustment setup, mapHandler.cpp:1108-1215).
+
+    ``window`` overrides the window capacity; ``global_ba=True`` selects all
+    valid KFs (globalBundleAdjustment, mapHandler.cpp:1844-1948 — maps above
+    ``window`` KFs should use the distributed solver instead).
 
     Returns (problem, window_kf_ids [Kw], window_pt_ids [Pw],
     window_ln_ids [Lw]) for scattering results back.
     """
     cap = cfg.cap
-    kw = cap.n_kf_window
+    kw = window or cap.n_kf_window
     cur = m.n_kf - 1
-    kf_loc = local_kf_mask(cfg, m, cur)
+    if global_ba:
+        kf_loc = m.kf_valid
+    else:
+        kf_loc = local_kf_mask(cfg, m, cur)
     # newest kw local KFs -> window slots (order: oldest..newest)
     k = m.kf_pose.shape[0]
     ids = jnp.arange(k)
@@ -362,7 +370,10 @@ def build_local_ba_problem(cfg: Config, m: MapState) -> tuple[
     kf2slot = jnp.full(k, -1, jnp.int32).at[win_ids_safe].set(
         jnp.where(win_ok, jnp.arange(kw, dtype=jnp.int32), -1), mode="drop")
 
-    pt_loc, ln_loc = local_landmark_masks(cfg, m, cur)
+    if global_ba:
+        pt_loc, ln_loc = m.pt_valid, m.ln_valid
+    else:
+        pt_loc, ln_loc = local_landmark_masks(cfg, m, cur)
     pw, lw = cap.n_obs_pt // 2, cap.n_obs_ln // 2
     pw = min(pw, m.pt_pos.shape[0])
     lw = min(lw, m.ln_sp.shape[0])

@@ -23,6 +23,57 @@ from gfplslam_tpu.models.frame import StereoFrame, process_stereo_pair
 from gfplslam_tpu.utils.timing import StageTimer, TimeLog, TimeLogWriter
 
 
+def run_vo_scan(cfg: Config, imgs_l, imgs_r, timestamps):
+    """Whole-sequence visual odometry as ONE device program.
+
+    ``lax.scan`` over frames: per step the front-end + tracker run on-device
+    with zero host round-trips; the trajectory comes back as a single array.
+    This is the throughput path (the host-driven ``VisualOdometry`` below
+    exists for interactive/driver use and SLAM-back-end interleaving).
+
+    Args: imgs_l/imgs_r [T, H, W] float32 (rectified), timestamps [T].
+    Returns (poses [T, 4, 4] absolute cam->world, aux dict of per-frame
+    diagnostics).
+    """
+    import jax
+    import jax.numpy as jnp
+    from gfplslam_tpu.models.frame import process_stereo_pair
+    from gfplslam_tpu.models.tracker import (initial_state, mark_keyframe,
+                                             track_step)
+
+    def first_frame(img_l, img_r):
+        st = initial_state(cfg)
+        frame = process_stereo_pair(img_l, img_r, cfg, st.fast_th)
+        return st, frame
+
+    def step(carry, inputs):
+        st, prev_frame, prev_ts, t_abs = carry
+        img_l, img_r, ts = inputs
+        frame = process_stereo_pair(img_l, img_r, cfg, st.fast_th)
+        out = track_step(cfg, st, prev_frame, frame,
+                         jnp.maximum(ts - prev_ts, 1e-3))
+        t_abs_new = t_abs @ out.state.dt_store
+        # KF bookkeeping reset (currFrameIsKF) without touching t_abs
+        st_kf = mark_keyframe(out.state)
+        st_next = jax.tree.map(
+            lambda a, b: jnp.where(out.need_kf, a, b), st_kf, out.state)
+        aux = dict(accepted=out.pose.accepted, n_pt=out.n_inliers_pt,
+                   n_ln=out.n_inliers_ln, is_kf=out.need_kf,
+                   err=out.pose.err)
+        return (st_next, frame, ts, t_abs_new), (t_abs_new, aux)
+
+    @jax.jit
+    def run(imgs_l, imgs_r, timestamps):
+        st0, frame0 = first_frame(imgs_l[0], imgs_r[0])
+        carry0 = (st0, frame0, timestamps[0], jnp.eye(4))
+        _, (poses, aux) = jax.lax.scan(
+            step, carry0, (imgs_l[1:], imgs_r[1:], timestamps[1:]))
+        poses = jnp.concatenate([jnp.eye(4)[None], poses])
+        return poses, aux
+
+    return run(imgs_l, imgs_r, timestamps)
+
+
 @dataclass
 class FrameRecord:
     timestamp: float

@@ -78,16 +78,21 @@ class Keypoints(NamedTuple):
 
 @partial(jax.jit, static_argnames=("n_out", "cell", "per_cell", "border"))
 def select_keypoints(score: jax.Array, n_out: int, cell: int = 32,
-                     per_cell: int = 4, border: int = 19) -> Keypoints:
+                     per_cell: int = 4, border: int = 19,
+                     valid_h: jax.Array | None = None,
+                     valid_w: jax.Array | None = None) -> Keypoints:
     """NMS + per-cell top-k + global top-k (quadtree-distribution equivalent,
     ORBextractor.cc:539-765). Returns exactly ``n_out`` padded keypoints in
-    this level's pixel coordinates."""
+    this level's pixel coordinates. ``valid_h``/``valid_w`` bound the live
+    region when the score map is a zero-padded pyramid level."""
     h, w = score.shape
+    vh = h if valid_h is None else valid_h
+    vw = w if valid_w is None else valid_w
     s = nms3(score)
     # mask detector border (edge_th, config.cpp:138)
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
-    inside = (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+    inside = (yy >= border) & (yy < vh - border) & (xx >= border) & (xx < vw - border)
     s = jnp.where(inside, s, 0.0)
     # pad to multiples of cell
     ph = -(-h // cell) * cell

@@ -51,35 +51,62 @@ def build_pyramid(img: jax.Array, nlevels: int, scale: float) -> List[jax.Array]
     return levels
 
 
+def build_pyramid_padded(img: jax.Array, nlevels: int,
+                         scale: float) -> jax.Array:
+    """[H, W] -> [L, H, W]: every level computed at its true resolution then
+    zero-padded to the level-0 shape.
+
+    Uniform shapes let FAST/ORB/LSD run as ONE vmapped program over
+    (camera x level) instead of per-level inlined copies — the compile-size
+    and MXU-batching win that motivates trading ~30% padded compute.
+    """
+    h, w = img.shape
+    levels = build_pyramid(img, nlevels, scale)
+    out = [levels[0]]
+    for lv in levels[1:]:
+        lh, lw = lv.shape
+        out.append(jnp.pad(lv, ((0, h - lh), (0, w - lw))))
+    return jnp.stack(out)
+
+
 def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return (k / k.sum()).astype(np.float32)
 
 
+def _shift(x: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Edge-replicated shift via pad+slice (VPU-friendly; a single-channel
+    lax.conv wastes the MXU and measured ~10x slower than shift-add)."""
+    h, w = x.shape[-2], x.shape[-1]
+    y = jnp.pad(x, [(0, 0)] * (x.ndim - 2)
+                + [(max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0))],
+                mode="edge")
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(y, max(-dy, 0), max(-dy, 0) + h, axis=x.ndim - 2),
+        max(-dx, 0), max(-dx, 0) + w, axis=x.ndim - 1)
+
+
 @partial(jax.jit, static_argnames=("sigma", "radius"))
 def gaussian_blur(img: jax.Array, sigma: float = 2.0, radius: int = 3) -> jax.Array:
     """Separable Gaussian blur (the 7x7 sigma-2 blur before BRIEF sampling,
-    ORBextractor.cc:1043-1048)."""
-    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
-    pad = radius
-    x = jnp.pad(img, ((pad, pad), (pad, pad)), mode="edge")
-    # horizontal then vertical, via conv on [1,1,H,W]
-    x4 = x[None, None, :, :]
-    kh = k[None, None, None, :]
-    kv = k[None, None, :, None]
-    y = jax.lax.conv_general_dilated(x4, kh, (1, 1), "VALID")
-    y = jax.lax.conv_general_dilated(y, kv, (1, 1), "VALID")
-    return y[0, 0]
+    ORBextractor.cc:1043-1048), as shift-multiply-add chains."""
+    k = gaussian_kernel1d(sigma, radius)
+    y = jnp.zeros_like(img)
+    for i, kv in enumerate(k):
+        y = y + float(kv) * _shift(img, 0, i - radius)
+    out = jnp.zeros_like(img)
+    for i, kv in enumerate(k):
+        out = out + float(kv) * _shift(y, i - radius, 0)
+    return out
 
 
 def sobel(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """3x3 Sobel dx, dy (gradient input for LSD/LBD; replaces cv::Sobel in
-    binary_descriptor_custom.cpp:395-413). Border replicated."""
-    x = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
-    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    ky = kx.T
-    x4 = x[None, None]
-    gx = jax.lax.conv_general_dilated(x4, kx[None, None], (1, 1), "VALID")[0, 0]
-    gy = jax.lax.conv_general_dilated(x4, ky[None, None], (1, 1), "VALID")[0, 0]
+    binary_descriptor_custom.cpp:395-413). Border replicated; separable
+    shift-add form: sobel_x = [1,2,1]^T (x) [-1,0,1]."""
+    smooth_v = _shift(img, -1, 0) + 2.0 * img + _shift(img, 1, 0)
+    gx = _shift(smooth_v, 0, 1) - _shift(smooth_v, 0, -1)
+    smooth_h = _shift(img, 0, -1) + 2.0 * img + _shift(img, 0, 1)
+    gy = _shift(smooth_h, 1, 0) - _shift(smooth_h, -1, 0)
     return gx, gy

@@ -57,15 +57,16 @@ def so3_exp(phi: jax.Array) -> jax.Array:
 def so3_log(r: jax.Array) -> jax.Array:
     """3x3 rotation matrix -> rotation vector (auxiliar.cpp:185-210 behavior).
 
-    The arccos argument is clipped strictly inside (-1, 1) so forward-mode
-    differentiation (pose-graph edge Jacobians) stays finite at the identity
-    — arccos'(+-1) is infinite and 0*inf tangents poison jacfwd."""
-    cos_t = jnp.clip((jnp.trace(r) - 1.0) * 0.5, -1.0 + 1e-6, 1.0 - 1e-6)
-    theta = jnp.arccos(cos_t)
+    theta = atan2(|skew-part|, (tr-1)/2): accurate near pi (where arccos
+    loses precision) and forward-mode differentiable at the identity (where
+    arccos'(1) is infinite and poisons pose-graph edge jacfwd)."""
+    cos_t = jnp.clip((jnp.trace(r) - 1.0) * 0.5, -1.0, 1.0)
     w = 0.5 * jnp.stack([r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]])
+    sin_t = jnp.sqrt(jnp.dot(w, w) + 1e-24)
+    theta = jnp.arctan2(sin_t, cos_t)
     # near theta=0: log ~= w ; near theta=pi use axis from diagonal
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-6, 1.0 + theta * theta / 6.0, theta / jnp.maximum(sin_t, _EPS))
+    scale = jnp.where(theta < 1e-6, 1.0 + theta * theta / 6.0,
+                      theta / jnp.maximum(sin_t, _EPS))
     generic = scale * w
     # theta -> pi branch: axis from largest diagonal of (R + I)/2
     rr = (r + jnp.eye(3, dtype=r.dtype)) * 0.5
