@@ -182,13 +182,12 @@ def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
                            0, w - 1)
         strip = ir[yi[:, None], strip_x[None, :]]   # [2w+1, 2(s+w)+1]
 
-        def sad(k):
-            patch_r = jax.lax.dynamic_slice(
-                strip, (0, k), (2 * win + 1, 2 * win + 1))
+        sad_list = []
+        for k in range(2 * search + 1):             # static slices are free
+            patch_r = strip[:, k:k + 2 * win + 1]
             patch_r = patch_r - patch_r[win, win]
-            return jnp.sum(jnp.abs(patch_l - patch_r))
-
-        sads = jax.vmap(sad)(jnp.arange(2 * search + 1))
+            sad_list.append(jnp.sum(jnp.abs(patch_l - patch_r)))
+        sads = jnp.stack(sad_list)
         best = jnp.argmin(sads)
         edge = (best == 0) | (best == 2 * search)
         bm1 = sads[jnp.clip(best - 1, 0, 2 * search)]

@@ -65,14 +65,15 @@ def _residual_jac(cam: CameraParams, p: jax.Array, lx: jax.Array,
     ])
 
 
-def pose_info_line(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
-                   ep3d: jax.Array, cov_s: jax.Array, cov_e: jax.Array,
-                   le_obs: jax.Array, r0: jax.Array, r1: jax.Array
-                   ) -> jax.Array:
-    """6x6 pose information of one cut line (getPoseInfoOnLine, :1342-1411).
-
-    ``dt`` is T_curr<-prev (the reference's DT_inv). Endpoints/covariances
-    are interpolated by the cut ratios before transport.
+def line_info_factors(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
+                      ep3d: jax.Array, cov_s: jax.Array, cov_e: jax.Array,
+                      le_obs: jax.Array, r0: jax.Array, r1: jax.Array
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Rank-2 factorization of one cut line's pose information:
+    info = J diag(d) J^T with J [6, 2] = [j_start, j_end] and d the inverse
+    residual variances (getPoseInfoOnLine structure, :1342-1411). The
+    factored form lets the cut search score candidates with 2x2
+    determinant-lemma updates instead of 6x6 Cholesky factorizations.
     """
     sp = (1 - r0) * sp3d + r0 * ep3d
     ep = (1 - r1) * ep3d + r1 * sp3d
@@ -93,9 +94,23 @@ def pose_info_line(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
 
     js, cs = endpoint_info(sp, cov_sp)
     je, ce = endpoint_info(ep, cov_ep)
-    inv_cs = 1.0 / jnp.maximum(cs, 1e-12)
-    inv_ce = 1.0 / jnp.maximum(ce, 1e-12)
-    return jnp.outer(js, js) * inv_cs + jnp.outer(je, je) * inv_ce
+    d = jnp.stack([1.0 / jnp.maximum(cs, 1e-12),
+                   1.0 / jnp.maximum(ce, 1e-12)])
+    return jnp.stack([js, je], axis=-1), d
+
+
+def pose_info_line(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
+                   ep3d: jax.Array, cov_s: jax.Array, cov_e: jax.Array,
+                   le_obs: jax.Array, r0: jax.Array, r1: jax.Array
+                   ) -> jax.Array:
+    """6x6 pose information of one cut line (getPoseInfoOnLine, :1342-1411).
+
+    ``dt`` is T_curr<-prev (the reference's DT_inv). Endpoints/covariances
+    are interpolated by the cut ratios before transport.
+    """
+    j, d = line_info_factors(cam, dt, sp3d, ep3d, cov_s, cov_e, le_obs,
+                             r0, r1)
+    return (j * d[None, :]) @ j.T
 
 
 def pose_info_point(cam: CameraParams, dt: jax.Array, p3d: jax.Array,
@@ -140,16 +155,19 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
     """Parallel coordinate-ascent line cutting (submodular solver,
     :1618-1764). ``dt`` = T_curr<-prev."""
     m = lns.sp3d.shape[0]
-    metric = _logdet_pd if use_logdet else _min_eig
 
-    info_line_fn = jax.vmap(
-        lambda sp, ep, cs, ce, le, r0, r1: pose_info_line(
+    factors_fn = jax.vmap(
+        lambda sp, ep, cs, ce, le, r0, r1: line_info_factors(
             cam, dt, sp, ep, cs, ce, le, r0, r1))
 
-    def all_infos(r0, r1):
-        infos = info_line_fn(lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs,
-                             r0, r1)
-        return jnp.where(lns.valid[:, None, None], infos, 0.0)
+    def factors(r0, r1):
+        j, d = factors_fn(lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs,
+                          r0, r1)
+        d = jnp.where(lns.valid[:, None], d, 0.0)
+        return j, d
+
+    def info_of(j, d):
+        return jnp.einsum("...ik,...k,...jk->...ij", j, d, j)
 
     pt_infos = jax.vmap(lambda p, o: pose_info_point(cam, dt, p, o))(
         pts.p3d, pts.obs)
@@ -157,8 +175,34 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
 
     r0 = jnp.zeros(m)
     r1 = jnp.zeros(m)
-    infos = all_infos(r0, r1)
+    j0, d0 = factors(r0, r1)
+    infos = info_of(j0, d0)
     steps = jnp.asarray(_NEIGHBOR_STEPS * step)
+
+    def cand_metrics_logdet(rest, c0, c1):
+        """Determinant lemma: logdet(rest + J D J^T) = logdet(rest)
+        + log det(I2 + D J^T rest^-1 J). One 6x6 Cholesky per LINE, then
+        each candidate costs a triangular solve + 2x2 determinant."""
+        l = jnp.linalg.cholesky(rest + 1e-8 * jnp.eye(6))     # [M,6,6]
+        ld_rest = 2.0 * jnp.sum(jnp.log(jnp.maximum(
+            jnp.diagonal(l, axis1=-2, axis2=-1), 1e-30)), axis=-1)
+        js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
+            c0, c1)                                           # [M,9,6,2]
+        l_b = jnp.broadcast_to(l[:, None], (l.shape[0], js.shape[1], 6, 6))
+        y = jax.scipy.linalg.solve_triangular(l_b, js, lower=True)  # [M,9,6,2]
+        mm = jnp.einsum("mkir,mkis->mkrs", y, y)              # [M,9,2,2]
+        d1 = ds[..., 0]
+        d2 = ds[..., 1]
+        det2 = ((1 + d1 * mm[..., 0, 0]) * (1 + d2 * mm[..., 1, 1])
+                - d1 * d2 * mm[..., 0, 1] * mm[..., 1, 0])
+        val = ld_rest[:, None] + jnp.log(jnp.maximum(det2, 1e-30))
+        return jnp.where(jnp.isfinite(val), val, -jnp.inf)
+
+    def cand_metrics_mineig(rest, c0, c1):
+        js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
+            c0, c1)
+        cand_infos = info_of(js, ds)                          # [M,9,6,6]
+        return jax.vmap(jax.vmap(_min_eig))(rest[:, None] + cand_infos)
 
     def cond(carry):
         r0, r1, infos, it, improved = carry
@@ -168,30 +212,26 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         r0, r1, infos, it, _ = carry
         info_sum = jnp.sum(infos, axis=0) + pt_sum
         rest = info_sum[None] - infos                       # [M,6,6]
-        base = jax.vmap(metric)(rest + infos)               # [M]
 
-        # candidate ratios [M, 8]
-        c0 = r0[:, None] + steps[None, :, 0]
-        c1 = r1[:, None] + steps[None, :, 1]
+        # candidate grid: slot 0 = stay (base), slots 1..8 = moves
+        c0 = jnp.concatenate([r0[:, None], r0[:, None] + steps[None, :, 0]], 1)
+        c1 = jnp.concatenate([r1[:, None], r1[:, None] + steps[None, :, 1]], 1)
         feas = ((c0 + c1 <= 1.0) & (c0 >= rng_lo) & (c0 <= rng_hi)
                 & (c1 >= rng_lo) & (c1 <= rng_hi))
-        cand_infos = jax.vmap(
-            lambda cc0, cc1: all_infos(cc0, cc1), in_axes=1, out_axes=1
-        )(c0, c1)                                           # [M,8,6,6]
-        cand_metric = jax.vmap(jax.vmap(metric))(
-            rest[:, None] + cand_infos)                     # [M,8]
+        if use_logdet:
+            cand_metric = cand_metrics_logdet(rest, c0, c1)   # [M,9]
+        else:
+            cand_metric = cand_metrics_mineig(rest, c0, c1)
         cand_metric = jnp.where(feas & lns.valid[:, None], cand_metric,
                                 -jnp.inf)
-        best = jnp.argmax(cand_metric, axis=1)
+        base = cand_metric[:, 0]
+        best = jnp.argmax(cand_metric[:, 1:], axis=1) + 1
         best_m = jnp.take_along_axis(cand_metric, best[:, None], 1)[:, 0]
         take = best_m > base + 1e-12
         nr0 = jnp.where(take, jnp.take_along_axis(c0, best[:, None], 1)[:, 0], r0)
         nr1 = jnp.where(take, jnp.take_along_axis(c1, best[:, None], 1)[:, 0], r1)
-        n_infos = jnp.where(
-            take[:, None, None],
-            jnp.take_along_axis(
-                cand_infos, best[:, None, None, None].repeat(6, 2).repeat(6, 3),
-                axis=1)[:, 0], infos)
+        nj, nd = factors(nr0, nr1)
+        n_infos = jnp.where(take[:, None, None], info_of(nj, nd), infos)
         return nr0, nr1, n_infos, it + 1, jnp.any(take)
 
     r0, r1, infos, iters, _ = jax.lax.while_loop(

@@ -12,8 +12,10 @@ shifts pytrees and logs.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +25,7 @@ from gfplslam_tpu.models.frame import StereoFrame, process_stereo_pair
 from gfplslam_tpu.utils.timing import StageTimer, TimeLog, TimeLogWriter
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def run_vo_scan(cfg: Config, imgs_l, imgs_r, timestamps):
     """Whole-sequence visual odometry as ONE device program.
 
@@ -41,11 +44,6 @@ def run_vo_scan(cfg: Config, imgs_l, imgs_r, timestamps):
     from gfplslam_tpu.models.tracker import (initial_state, mark_keyframe,
                                              track_step)
 
-    def first_frame(img_l, img_r):
-        st = initial_state(cfg)
-        frame = process_stereo_pair(img_l, img_r, cfg, st.fast_th)
-        return st, frame
-
     def step(carry, inputs):
         st, prev_frame, prev_ts, t_abs = carry
         img_l, img_r, ts = inputs
@@ -62,16 +60,13 @@ def run_vo_scan(cfg: Config, imgs_l, imgs_r, timestamps):
                    err=out.pose.err)
         return (st_next, frame, ts, t_abs_new), (t_abs_new, aux)
 
-    @jax.jit
-    def run(imgs_l, imgs_r, timestamps):
-        st0, frame0 = first_frame(imgs_l[0], imgs_r[0])
-        carry0 = (st0, frame0, timestamps[0], jnp.eye(4))
-        _, (poses, aux) = jax.lax.scan(
-            step, carry0, (imgs_l[1:], imgs_r[1:], timestamps[1:]))
-        poses = jnp.concatenate([jnp.eye(4)[None], poses])
-        return poses, aux
-
-    return run(imgs_l, imgs_r, timestamps)
+    st0 = initial_state(cfg)
+    frame0 = process_stereo_pair(imgs_l[0], imgs_r[0], cfg, st0.fast_th)
+    carry0 = (st0, frame0, timestamps[0], jnp.eye(4))
+    _, (poses, aux) = jax.lax.scan(
+        step, carry0, (imgs_l[1:], imgs_r[1:], timestamps[1:]))
+    poses = jnp.concatenate([jnp.eye(4)[None], poses])
+    return poses, aux
 
 
 @dataclass

@@ -33,6 +33,9 @@ import numpy as np
 from gfplslam_tpu.ops.pyramid import gaussian_blur, sobel
 
 
+CAND_SLOTS = 32768  # compacted support-pixel capacity (strongest gradients)
+
+
 class LineSegments(NamedTuple):
     sp: jax.Array      # [N, 2] float32 start point (x, y)
     ep: jax.Array      # [N, 2] float32 end point (x, y)
@@ -49,46 +52,6 @@ def _angle_diff_mod_2pi(a: jax.Array, b: jax.Array) -> jax.Array:
     bright ridge (opposite gradient signs) grow into separate regions."""
     d = jnp.abs(a - b) % (2 * jnp.pi)
     return jnp.minimum(d, 2 * jnp.pi - d)
-
-
-def _propagate_labels(labels: jax.Array, support: jax.Array,
-                      angle: jax.Array, ang_tol: float, rounds: int) -> jax.Array:
-    """Min-label connected components over 8-neighborhoods of aligned support
-    pixels, with pointer jumping for O(log) convergence.
-
-    The 8 neighbor-alignment masks depend only on the (fixed) angle field,
-    so they are computed once outside the round loop; each round is then 8
-    masked-roll mins + 2 pointer-jump gathers."""
-    h, w = labels.shape
-    big = jnp.int32(h * w + 1)
-    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-               if (dy, dx) != (0, 0)]
-
-    yy = jnp.arange(h)[:, None]
-    xx = jnp.arange(w)[None, :]
-    aligned = []
-    for dy, dx in offsets:
-        na = jnp.roll(angle, (dy, dx), (0, 1))
-        ns = jnp.roll(support, (dy, dx), (0, 1))
-        inb = ((yy - dy >= 0) & (yy - dy < h) &
-               (xx - dx >= 0) & (xx - dx < w))
-        aligned.append(ns & inb & (_angle_diff_mod_2pi(angle, na) < ang_tol))
-
-    def body(_, lab):
-        best = lab
-        for (dy, dx), ok in zip(offsets, aligned):
-            nl = jnp.roll(lab, (dy, dx), (0, 1))
-            best = jnp.minimum(best, jnp.where(ok, nl, big))
-        lab = jnp.where(support, best, big)
-        # pointer jumping: follow the label's label twice
-        flat = lab.reshape(-1)
-        safe = jnp.clip(flat, 0, h * w - 1)
-        flat = jnp.minimum(flat, jnp.where(flat < big, flat[safe], big))
-        safe = jnp.clip(flat, 0, h * w - 1)
-        flat = jnp.minimum(flat, jnp.where(flat < big, flat[safe], big))
-        return flat.reshape(h, w)
-
-    return jax.lax.fori_loop(0, rounds, body, labels)
 
 
 @partial(jax.jit, static_argnames=("n_out", "rounds", "ang_th_deg", "quant",
@@ -116,25 +79,76 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 8,
     xx = jnp.arange(w)[None, :]
     support &= (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
 
-    ids = (yy * w + xx).astype(jnp.int32)
-    big = jnp.int32(h * w + 1)
-    labels = jnp.where(support, ids, big)
-    labels = _propagate_labels(labels, support, ang, ang_tol, rounds)
+    # --- compact support pixels to a fixed candidate list ---
+    # TPU random gathers price by element count AND table size; running the
+    # label rounds on a [CAND] compacted list instead of the [H*W] image cut
+    # propagation cost ~5x. Strongest-gradient pixels win the slots (LSD
+    # also orders region growing by decreasing magnitude).
+    n_cand = min(CAND_SLOTS, h * w)
+    flat_sup = support.reshape(-1)
+    flat_mag = jnp.where(flat_sup, mag.reshape(-1), -1.0)
+    _, cand_px = jax.lax.top_k(flat_mag, n_cand)      # pixel ids
+    cand_ok = flat_mag[cand_px] > 0
+    # raster-order the slots: spatially monotone ids give the min-label +
+    # pointer-jump iteration its O(log L) path-halving behavior (random
+    # magnitude-ordered ids fragmented long components)
+    cand_px = jnp.sort(jnp.where(cand_ok, cand_px, h * w))
+    cand_ok = cand_px < h * w
+    cand_px = jnp.where(cand_ok, cand_px, 0)
+    # inverse map pixel -> slot (+1 so 0 means "none")
+    inv = jnp.zeros(h * w, jnp.int32).at[
+        jnp.where(cand_ok, cand_px, h * w - 1)].max(
+        jnp.where(cand_ok, jnp.arange(n_cand, dtype=jnp.int32) + 1, 0))
+    cx_i = cand_px % w
+    cy_i = cand_px // w
+    cand_ang = ang.reshape(-1)[cand_px]
 
-    # --- per-component moments via scatter-add into [h*w] bins ---
-    flat_lab = jnp.clip(labels.reshape(-1), 0, h * w - 1)
-    in_comp = (labels < big).reshape(-1)
-    flat_ids = ids.reshape(-1)
-    fx = (flat_ids % w).astype(jnp.float32)
-    fy = (flat_ids // w).astype(jnp.float32)
-    fm = jnp.where(in_comp, mag.reshape(-1), 0.0)
+    # neighbor slots (8) with alignment gates, built once
+    nbr_slots = []
+    nbr_ok = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nx = cx_i + dx
+            ny = cy_i + dy
+            inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+            np_id = jnp.clip(ny * w + nx, 0, h * w - 1)
+            slot1 = inv[np_id]                        # slot+1 or 0
+            ok = cand_ok & inb & (slot1 > 0)
+            slot = jnp.clip(slot1 - 1, 0, n_cand - 1)
+            na = cand_ang[slot]
+            ok &= _angle_diff_mod_2pi(cand_ang, na) < ang_tol
+            nbr_slots.append(slot)
+            nbr_ok.append(ok)
+    nbr_slots = jnp.stack(nbr_slots, 1)               # [CAND, 8]
+    nbr_ok = jnp.stack(nbr_ok, 1)
+
+    big = jnp.int32(n_cand + 1)
+    lab0 = jnp.where(cand_ok, jnp.arange(n_cand, dtype=jnp.int32), big)
+
+    def body(_, lab):
+        nl = lab[nbr_slots]                           # [CAND, 8]
+        best = jnp.min(jnp.where(nbr_ok, nl, big), axis=1)
+        lab = jnp.minimum(lab, jnp.where(cand_ok, best, big))
+        safe = jnp.clip(lab, 0, n_cand - 1)
+        lab = jnp.minimum(lab, jnp.where(lab < big, lab[safe], big))
+        safe = jnp.clip(lab, 0, n_cand - 1)
+        lab = jnp.minimum(lab, jnp.where(lab < big, lab[safe], big))
+        return lab
+
+    labels = jax.lax.fori_loop(0, rounds, body, lab0)
+
+    # --- per-component moments via one fused scatter into [CAND] bins ---
+    in_comp = labels < big
+    flat_lab = jnp.clip(labels, 0, n_cand - 1)
+    fx = cx_i.astype(jnp.float32)
+    fy = cy_i.astype(jnp.float32)
+    fm = mag.reshape(-1)[cand_px]
     one = in_comp.astype(jnp.float32)
-
-    # one fused scatter-add with a 7-vector payload (7 separate scatters
-    # paid the index cost 7 times)
     payload = jnp.stack([one, fx, fy, fx * fx, fx * fy, fy * fy, fm], axis=1)
     payload = jnp.where(in_comp[:, None], payload, 0.0)
-    moments = jnp.zeros((h * w, 7), jnp.float32).at[flat_lab].add(payload)
+    moments = jnp.zeros((n_cand, 7), jnp.float32).at[flat_lab].add(payload)
     cnt, sx, sy, sxx, sxy, syy, smag = [moments[:, i] for i in range(7)]
 
     # top-K components by pixel count
