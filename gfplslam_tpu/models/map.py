@@ -299,6 +299,20 @@ def _insert_kf(cfg: Config, m: MapState, frame: StereoFrame,
                    lo_kf=lo[0], lo_lm=lo[1], lo_le=lo[2], lo_sigma2=lo[3],
                    lo_valid=lo[4], lo_head=lo[5])
 
+    # --- representative descriptor refresh: matched landmarks take the
+    # newest observation's descriptor (recency medoid; the reference's
+    # median-distance update, mapFeatures.cpp:50-107, needs per-landmark
+    # all-pairs distances — the streaming update tracks appearance drift
+    # at O(1) and feeds the same matching paths) ---
+    upd_pt = obs_pt & (pt_lm_idx >= 0)
+    m = m._replace(
+        pt_desc=m.pt_desc.at[
+            jnp.where(upd_pt, pt_lm_safe, m.pt_pos.shape[0])
+        ].set(f.desc, mode="drop"),
+        ln_desc=m.ln_desc.at[
+            jnp.where(obs_ln & (ln_lm_idx >= 0), ln_lm_safe, drop_l)
+        ].set(fl.desc, mode="drop"))
+
     # --- landmark stats + validity ---
     m = m._replace(
         pt_obs_n=m.pt_obs_n.at[pt_lm_safe].add(obs_pt.astype(jnp.int32)),

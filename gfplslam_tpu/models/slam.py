@@ -152,10 +152,38 @@ class SLAMSystem:
         self.lc_consecutive = 0
 
     # ------------------------------------------------------------------
-    def finish(self):
-        """Flush a pending loop closure (finishSLAM, mapHandler.cpp:96-111)."""
+    def finish(self, run_global_ba: bool = False):
+        """Flush a pending loop closure (finishSLAM, mapHandler.cpp:96-111);
+        optionally refine everything with a global BA pass
+        (globalBundleAdjustment, mapHandler.cpp:1844-1948)."""
         if self.lc_pending is not None:
             self._close_loop()
+        if run_global_ba and int(self.map.n_kf) >= 2:
+            window = min(int(self.map.kf_pose.shape[0]), 64)
+            prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
+                self.cfg, self.map, window=window, global_ba=True)
+            res = ba_ops.solve_ba(self.cfg.camera, prob,
+                                  max_iters=self.cfg.slam.max_iters_lba)
+            self.map = map_ops.apply_ba_result(self.cfg, self.map, res,
+                                               win_ids, p_ids, l_ids)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the full map + loop + tracker state (capability the
+        reference lacks — SURVEY.md section 5 'Checkpoint/resume: None')."""
+        from gfplslam_tpu.utils import checkpoint
+        checkpoint.save_state(path, map=self.map, loop=self.loop_state,
+                              tracker=self.vo.state)
+
+    def load(self, path: str) -> None:
+        from gfplslam_tpu.utils import checkpoint
+        from gfplslam_tpu.models import tracker as trk
+        out = checkpoint.load_state(
+            path, map=map_ops.empty_map(self.cfg),
+            loop=loop_ops.empty_loop_state(self.cfg),
+            tracker=trk.initial_state(self.cfg))
+        self.map = out["map"]
+        self.loop_state = out["loop"]
+        self.vo.state = out["tracker"]
 
     @property
     def keyframe_trajectory(self) -> np.ndarray:
