@@ -351,6 +351,115 @@ def remove_bad_landmarks(cfg: Config, m: MapState) -> MapState:
         lo_valid=m.lo_valid & ln_valid[m.lo_lm])
 
 
+N_FUSE = 256  # candidate landmarks compacted per loop side for fusion
+
+
+def _fuse_pool(desc, pos, valid, last_kf, obs_n, obs_lm, obs_kf, obs_valid,
+               kf_prev, kf_curr, near, fuse_r, n_kf_total):
+    """Duplicate-landmark merge across a closed loop for one landmark family
+    (loopClosureFuseLandmarks, mapHandler.cpp:4425-4714).
+
+    Side A = landmarks last seen around the loop target ``kf_prev``; side B =
+    landmarks from the current end of the trajectory. Mutual-best descriptor
+    match + post-correction 3D proximity gate; B members merge into their A
+    partner (obs redirection + stats concat — the reference's "fuse-two"
+    case; its one-sided cases are subsumed because every feature here is
+    already a landmark). Returns (remap [P], keep_valid [P], occA, occB
+    [N_FUSE, K] fused-pair KF occupancy for covisibility increments,
+    merged_mask [N_FUSE])."""
+    p = desc.shape[0]
+    ids = jnp.arange(p)
+    side_a = valid & (last_kf >= kf_prev - near) & (last_kf <= kf_prev + near)
+    side_b = valid & (last_kf >= kf_curr - near) & ~side_a
+    # compact each side to N_FUSE slots by recency
+    key_a = jnp.where(side_a, last_kf, -1)
+    key_b = jnp.where(side_b, last_kf, -1)
+    a_ids = jax.lax.top_k(jnp.where(key_a >= 0, ids, -1), min(N_FUSE, p))[0]
+    b_ids = jax.lax.top_k(jnp.where(key_b >= 0, ids, -1), min(N_FUSE, p))[0]
+    a_ok = a_ids >= 0
+    b_ok = b_ids >= 0
+    a_safe = jnp.where(a_ok, a_ids, 0)
+    b_safe = jnp.where(b_ok, b_ids, 0)
+
+    d = hamming_matrix(desc[a_safe], desc[b_safe], a_ok, b_ok
+                       ).astype(jnp.float32)
+    big = jnp.float32(1 << 16)
+    gap = jnp.linalg.norm(pos[a_safe][:, None, :] - pos[b_safe][None, :, :],
+                          axis=-1)
+    d = jnp.where(gap < fuse_r, d, big)
+    mm = match_ops.mutual_best(d)
+    merged = mm.valid & (mm.dist < 80) & a_ok & b_ok[mm.idx]
+
+    keep = a_safe                                   # [N_FUSE] A landmark kept
+    drop = b_safe[mm.idx]                           # [N_FUSE] B landmark gone
+    drop_slot = jnp.where(merged, drop, p)
+    keep_slot = jnp.where(merged, keep, p)
+
+    # remap: every obs of the dropped landmark re-targets the kept one
+    remap = ids.at[drop_slot].set(keep, mode="drop")
+    keep_valid = valid.at[drop_slot].set(False, mode="drop")
+    # concat stats onto the kept landmark
+    obs_n = obs_n.at[keep_slot].add(
+        jnp.where(merged, obs_n[jnp.where(merged, drop, 0)], 0), mode="drop")
+    last_kf = jnp.maximum(
+        last_kf,
+        jnp.zeros_like(last_kf).at[keep_slot].max(
+            jnp.where(merged, last_kf[jnp.where(merged, drop, 0)], 0),
+            mode="drop"))
+
+    # fused-pair KF occupancy for covisibility increments (:4478-4545): which
+    # KFs observe the kept / dropped landmark, via the flat obs table
+    inv_keep = jnp.full(p + 1, N_FUSE, jnp.int32).at[keep_slot].set(
+        jnp.arange(N_FUSE, dtype=jnp.int32), mode="drop")
+    inv_drop = jnp.full(p + 1, N_FUSE, jnp.int32).at[drop_slot].set(
+        jnp.arange(N_FUSE, dtype=jnp.int32), mode="drop")
+    row_a = jnp.where(obs_valid, inv_keep[obs_lm], N_FUSE)
+    row_b = jnp.where(obs_valid, inv_drop[obs_lm], N_FUSE)
+    k = n_kf_total
+    occ_a = jnp.zeros(N_FUSE * k, jnp.float32).at[
+        jnp.where(row_a < N_FUSE, row_a * k + obs_kf, N_FUSE * k)
+    ].max(1.0, mode="drop").reshape(N_FUSE, k)
+    occ_b = jnp.zeros(N_FUSE * k, jnp.float32).at[
+        jnp.where(row_b < N_FUSE, row_b * k + obs_kf, N_FUSE * k)
+    ].max(1.0, mode="drop").reshape(N_FUSE, k)
+    return remap, keep_valid, obs_n, last_kf, occ_a, occ_b, merged
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fuse_loop_landmarks(cfg: Config, m: MapState, kf_prev: jax.Array,
+                        kf_curr: jax.Array) -> tuple[MapState, jax.Array]:
+    """Merge duplicate landmarks across a just-closed loop
+    (loopClosureFuseLandmarks, mapHandler.cpp:4425-4714): after pose-graph
+    correction the two loop ends overlap, so landmarks re-observed under new
+    ids are fused back, observation tables are redirected, and the
+    covisibility graph gains the cross-loop counts that make subsequent
+    local maps span the junction. Returns (map, n_fused)."""
+    near = jnp.asarray(cfg.slam.min_kf_local_map + 3, jnp.int32)
+    fuse_r = cfg.slam.max_lm_3d_err
+    k = m.full_graph.shape[0]
+
+    (remap_p, pt_valid, pt_obs_n, pt_last_kf,
+     occ_ap, occ_bp, merged_p) = _fuse_pool(
+        m.pt_desc, m.pt_pos, m.pt_valid, m.pt_last_kf, m.pt_obs_n,
+        m.po_lm, m.po_kf, m.po_valid, kf_prev, kf_curr, near, fuse_r, k)
+    (remap_l, ln_valid, ln_obs_n, ln_last_kf,
+     occ_al, occ_bl, merged_l) = _fuse_pool(
+        m.ln_desc, 0.5 * (m.ln_sp + m.ln_ep), m.ln_valid, m.ln_last_kf,
+        m.ln_obs_n, m.lo_lm, m.lo_kf, m.lo_valid, kf_prev, kf_curr, near,
+        fuse_r, k)
+
+    incr = (jnp.einsum("mk,ml->kl", occ_ap, occ_bp)
+            + jnp.einsum("mk,ml->kl", occ_al, occ_bl))
+    n_fused = jnp.sum(merged_p) + jnp.sum(merged_l)
+    m = m._replace(
+        pt_valid=pt_valid, pt_obs_n=pt_obs_n, pt_last_kf=pt_last_kf,
+        po_lm=remap_p[m.po_lm],
+        ln_valid=ln_valid, ln_obs_n=ln_obs_n, ln_last_kf=ln_last_kf,
+        lo_lm=remap_l[m.lo_lm],
+        full_graph=m.full_graph + incr.astype(jnp.int32))
+    return m, n_fused
+
+
 @partial(jax.jit, static_argnames=("cfg", "window", "global_ba"))
 def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
                            global_ba: bool = False) -> tuple[

@@ -38,6 +38,7 @@ class SLAMSystem:
     lc_pending: Optional[tuple] = None  # (kf_prev, kf_curr, t_rel)
     lc_consecutive: int = 0
     n_loop_closures: int = 0
+    n_fused_landmarks: int = 0
     kf_frame_ids: list = field(default_factory=list)
     kf_timestamps: list = field(default_factory=list)
 
@@ -146,6 +147,11 @@ class SLAMSystem:
             m.kf_pose, new_poses, m.ln_ep, m.ln_last_kf, m.ln_valid)
         self.map = m._replace(kf_pose=new_poses, pt_pos=pt_pos,
                               ln_sp=ln_sp, ln_ep=ln_ep)
+        # merge duplicate landmarks across the junction
+        # (loopClosureFuseLandmarks, mapHandler.cpp:4425-4714)
+        self.map, n_fused = map_ops.fuse_loop_landmarks(
+            self.cfg, self.map, jnp.asarray(kf_prev), jnp.asarray(kf_curr))
+        self.n_fused_landmarks += int(n_fused)
         self.n_loop_closures += 1
         self.lc_pending = None
         self.lc_status = LC_IDLE

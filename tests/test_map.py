@@ -115,3 +115,40 @@ def test_remove_bad_landmarks(cfg, frames):
     assert int(jnp.sum(m2.pt_valid)) == 0
     assert int(jnp.sum(m2.po_valid)) == 0
     assert before > 0
+
+
+def test_fuse_loop_landmarks(cfg):
+    """Duplicate landmarks across a loop junction merge: obs redirect to the
+    kept id, the dropped id dies, covisibility gains cross-loop counts."""
+    m = map_ops.empty_map(cfg)
+    rng = np.random.default_rng(5)
+    n_dup = 6
+    desc = rng.integers(0, 2**32, size=(n_dup, 8), dtype=np.uint32)
+    # side A: slots 0..5 seen at KF2; side B duplicates: slots 10..15 at KF10
+    pos = rng.uniform(-2, 2, (n_dup, 3)).astype(np.float32)
+    m = m._replace(
+        n_kf=jnp.asarray(11, jnp.int32),
+        kf_valid=m.kf_valid.at[:11].set(True),
+        pt_desc=m.pt_desc.at[:n_dup].set(desc).at[10:10 + n_dup].set(desc),
+        pt_pos=m.pt_pos.at[:n_dup].set(pos).at[10:10 + n_dup].set(pos + 0.05),
+        pt_valid=m.pt_valid.at[:n_dup].set(True).at[10:10 + n_dup].set(True),
+        pt_last_kf=m.pt_last_kf.at[:n_dup].set(2).at[10:10 + n_dup].set(10),
+        pt_obs_n=m.pt_obs_n.at[:n_dup].set(3).at[10:10 + n_dup].set(1),
+        po_kf=m.po_kf.at[:n_dup].set(2).at[n_dup:2 * n_dup].set(10),
+        po_lm=m.po_lm.at[:n_dup].set(jnp.arange(n_dup))
+                      .at[n_dup:2 * n_dup].set(jnp.arange(n_dup) + 10),
+        po_valid=m.po_valid.at[:2 * n_dup].set(True),
+    )
+    m2, n_fused = map_ops.fuse_loop_landmarks(
+        cfg, m, jnp.asarray(2), jnp.asarray(10))
+    assert int(n_fused) == n_dup, int(n_fused)
+    # dropped B ids invalid; kept A ids retain combined obs counts
+    assert not bool(jnp.any(m2.pt_valid[10:10 + n_dup]))
+    assert bool(jnp.all(m2.pt_valid[:n_dup]))
+    np.testing.assert_array_equal(np.asarray(m2.pt_obs_n[:n_dup]), 4)
+    # B observations now reference the kept A landmark
+    po_lm = np.asarray(m2.po_lm[n_dup:2 * n_dup])
+    np.testing.assert_array_equal(np.sort(po_lm), np.arange(n_dup))
+    # covisibility gained cross-loop counts between KF2 and KF10
+    fg = np.asarray(m2.full_graph)
+    assert fg[2, 10] + fg[10, 2] >= n_dup
