@@ -117,7 +117,7 @@ def detect_camera_features(img: jax.Array, cfg: Config,
             score, n_out=slots, cell=orb_cfg.grid_cell, per_cell=4,
             border=orb_cfg.edge_th, valid_h=vh_i, valid_w=vw_i)
         blur = gaussian_blur(lv_img)
-        ang = orb_ops.ic_angles(blur, kp.xy)
+        ang = orb_ops.ic_angles_dense(blur, kp.xy)
         desc = orb_ops.brief_descriptors(blur, kp.xy, ang)
         return kp, ang, desc
 
@@ -151,7 +151,7 @@ def detect_camera_features(img: jax.Array, cfg: Config,
 
 def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
                      xy_l: jax.Array, level_l: jax.Array, u_r0: jax.Array,
-                     win: int = 5, search: int = 5):
+                     win: int = 4, search: int = 4):
     """Batched SAD parabola refinement of the right-image column
     (subPixelStereoRefine_ORBSLAM, stereoFrame.cpp:340-404) on the padded
     [L, H, W] pyramid pair at each point's octave (dynamic level index; no
@@ -160,11 +160,14 @@ def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
     h, w = pyr_l.shape[1:]
     scales = jnp.asarray(scale_factor, jnp.float32) ** jnp.arange(
         nlv, dtype=jnp.float32)
+    # flat element indexing into the padded pyramid: indexing ``pyr[li]``
+    # with a traced level inside vmap gathers a whole [H, W] slice per point
+    flat_l = pyr_l.reshape(-1)
+    flat_r = pyr_r.reshape(-1)
 
     def one(xy, lvl, ur0):
         li = jnp.clip(lvl, 0, nlv - 1)
-        il = pyr_l[li]
-        ir = pyr_r[li]
+        base = li * (h * w)
         s = scales[li]
         ul = xy[0] / s
         vl = xy[1] / s
@@ -173,14 +176,14 @@ def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
         dx = jnp.arange(-win, win + 1)
         yi = jnp.clip(jnp.round(vl).astype(jnp.int32) + dy, 0, h - 1)
         xi = jnp.clip(jnp.round(ul).astype(jnp.int32) + dx, 0, w - 1)
-        patch_l = il[yi[:, None], xi[None, :]]
+        patch_l = flat_l[base + yi[:, None] * w + xi[None, :]]
         patch_l = patch_l - patch_l[win, win]
         # gather the right-image strip once and slide within registers
         # (per-offset patch gathers were the dominant gather volume)
         strip_x = jnp.clip(jnp.round(ur).astype(jnp.int32)
                            + jnp.arange(-search - win, search + win + 1),
                            0, w - 1)
-        strip = ir[yi[:, None], strip_x[None, :]]   # [2w+1, 2(s+w)+1]
+        strip = flat_r[base + yi[:, None] * w + strip_x[None, :]]
 
         sad_list = []
         for k in range(2 * search + 1):             # static slices are free
@@ -287,9 +290,11 @@ def stereo_match_lines(cam: CameraParams, cfg: Config,
                        feat_l.ln_valid, feat_r.ln_valid).astype(jnp.float32)
     m = mutual_best(d)
     # distinctiveness: (d2 - d1) must exceed MAD(d2-d1)*desc_th_l
-    # (lineDescriptorMAD nn12 path + gate at :681-683)
-    d_sorted = jnp.sort(d, axis=1)
-    gap = d_sorted[:, 1] - d_sorted[:, 0]
+    # (lineDescriptorMAD nn12 path + gate at :681-683); two-pass min beats
+    # a full row sort
+    d1 = jnp.min(d, axis=1)
+    d2 = jnp.min(jnp.where(d <= d1[:, None], jnp.inf, d), axis=1)
+    gap = jnp.where(jnp.isfinite(d2), d2 - d1, 0.0)
     gap_th = masked_stdv_mad_nozero(gap, m.valid) * tr.desc_th_l
     ok = m.valid & (gap > gap_th)
 

@@ -115,8 +115,9 @@ def cross_frame_matching(cfg: Config, prev: StereoFrame, curr: StereoFrame,
     lc = curr.lines
     dl = hamming_matrix(lp.desc, lc.desc, lp.valid, lc.valid).astype(jnp.float32)
     lm = match_ops.mutual_best(dl)
-    ds = jnp.sort(dl, axis=1)
-    gap = ds[:, 1] - ds[:, 0]
+    dl1 = jnp.min(dl, axis=1)
+    dl2 = jnp.min(jnp.where(dl <= dl1[:, None], jnp.inf, dl), axis=1)
+    gap = jnp.where(jnp.isfinite(dl2), dl2 - dl1, 0.0)
     gap_th = masked_stdv_mad_nozero(gap, lm.valid) * tr.desc_th_l
     lm = lm._replace(valid=lm.valid & (gap > gap_th))
     # budget-distance threshold: keep dist <= 1.2 * (K-th best distance)

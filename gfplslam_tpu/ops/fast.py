@@ -38,20 +38,29 @@ def fast_score_map(img: jax.Array, threshold: jax.Array) -> jax.Array:
     (stereoFrameHandler.cpp:864-922) retunes it at runtime without recompiling.
     """
     h, w = img.shape
-    t = jnp.asarray(threshold, img.dtype)
+    # bf16 margins: intensities are 0..255, so bf16's ~1-unit resolution at
+    # 255 only jitters the score, not the segment test materially — and it
+    # halves the dense traffic of the 16-copy stack.
+    img16 = img.astype(jnp.bfloat16)
+    t = jnp.asarray(threshold, jnp.bfloat16)
     # 16 shifted copies: d[k] = I(p + c_k) - I(p)
-    shifted = [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1))
+    shifted = [jnp.roll(img16, (-int(dy), -int(dx)), axis=(0, 1))
                for dx, dy in FAST_CIRCLE]
-    d = jnp.stack(shifted) - img[None]
+    d = jnp.stack(shifted) - img16[None]
+    neg = jnp.asarray(-jnp.inf, jnp.bfloat16)
     # windowed min over 9 consecutive circle entries (circular)
-    db = jnp.where(d > t, d - t, -jnp.inf)       # bright margin
-    dd = jnp.where(d < -t, -d - t, -jnp.inf)     # dark margin
+    db = jnp.where(d > t, d - t, neg)            # bright margin
+    dd = jnp.where(d < -t, -d - t, neg)          # dark margin
     def arc_score(x):
         xx = jnp.concatenate([x, x[:ARC_LEN - 1]], axis=0)  # circular extension
-        wmin = jax.lax.reduce_window(
-            xx, jnp.inf, jax.lax.min, (ARC_LEN, 1, 1), (1, 1, 1), "valid")
+        # windowed min over 9 via shift-min doubling (1+2+4 covers 8, plus
+        # the 9th element) — cheaper than reduce_window on this backend
+        m = xx
+        for s in (1, 2, 4):
+            m = jnp.minimum(m[:-s], m[s:])                  # covers 2s
+        wmin = jnp.minimum(m[:16], xx[ARC_LEN - 1:])        # covers 9
         return jnp.max(wmin, axis=0)
-    score = jnp.maximum(arc_score(db), arc_score(dd))
+    score = jnp.maximum(arc_score(db), arc_score(dd)).astype(jnp.float32)
     score = jnp.where(jnp.isfinite(score), score, 0.0)
     score = jnp.maximum(score, 0.0)
     # kill the 3px border where rolls wrap
@@ -62,9 +71,13 @@ def fast_score_map(img: jax.Array, threshold: jax.Array) -> jax.Array:
 
 
 def nms3(score: jax.Array) -> jax.Array:
-    """3x3 non-maximum suppression; keeps strict local maxima."""
-    mx = jax.lax.reduce_window(
-        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME")
+    """3x3 non-maximum suppression; keeps strict local maxima.
+    Separable roll-max (cheaper than reduce_window on this backend); wrap
+    contamination is confined to the border rows/cols, which fast_score_map
+    already zeroed."""
+    r = jnp.maximum(score,
+                    jnp.maximum(jnp.roll(score, 1, 0), jnp.roll(score, -1, 0)))
+    mx = jnp.maximum(r, jnp.maximum(jnp.roll(r, 1, 1), jnp.roll(r, -1, 1)))
     return jnp.where((score >= mx) & (score > 0), score, 0.0)
 
 
@@ -100,7 +113,18 @@ def select_keypoints(score: jax.Array, n_out: int, cell: int = 32,
     s = jnp.pad(s, ((0, ph - h), (0, pw - w)))
     gh, gw = ph // cell, pw // cell
     cells = s.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
-    top_s, top_i = jax.lax.top_k(cells, per_cell)          # [gh*gw, per_cell]
+    # per-cell top-k as k rounds of (argmax, suppress): k is tiny, so this
+    # beats a row-wise top_k (which lowers to a full 1024-wide sort)
+    top_s_l, top_i_l = [], []
+    work = cells
+    for _ in range(per_cell):
+        i = jnp.argmax(work, axis=1)
+        v = jnp.take_along_axis(work, i[:, None], axis=1)[:, 0]
+        top_s_l.append(v)
+        top_i_l.append(i)
+        work = work.at[jnp.arange(work.shape[0]), i].set(-jnp.inf)
+    top_s = jnp.stack(top_s_l, axis=1)                     # [gh*gw, per_cell]
+    top_i = jnp.stack(top_i_l, axis=1)
     # cell-local index -> global pixel coords
     ci = jnp.arange(gh * gw)[:, None]
     cy = (ci // gw) * cell + top_i // cell

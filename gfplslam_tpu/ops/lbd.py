@@ -27,9 +27,9 @@ import numpy as np
 from gfplslam_tpu.ops.pyramid import sobel
 
 N_BANDS = 9
-BAND_WIDTH = 5          # rows per band across the line
-N_ALONG = 16            # samples along the line (sampling budget tuned for
-                        # TPU gather cost; 9x5x16 = 720 samples/line)
+BAND_WIDTH = 3          # rows per band across the line
+N_ALONG = 12            # samples along the line (sampling budget tuned for
+                        # TPU gather cost; 9x3x12 = 324 samples/line)
 FLOAT_DIM = N_BANDS * 8
 DESC_WORDS = 8
 

@@ -1,22 +1,31 @@
-"""Line-segment detection as a fixed-iteration batched XLA program.
+"""Line-segment detection as a roll-only batched XLA program.
 
 Replaces the reference's LSD wrapper (3rdparty LSDDetector_custom.cpp:218-281
 around cv::LineSegmentDetector, options descriptor_custom.hpp:906-917). LSD's
-sequential region-growing does not map to TPU, so detection is re-designed:
+sequential region-growing does not map to TPU, so detection is re-designed
+around the ops the hardware executes at full speed (dense shifts/elementwise)
+instead of the ops it executes slowly (large gathers/scatters):
 
-1. Gaussian smooth + Sobel -> gradient magnitude and level-line angle.
-2. Support mask: magnitude above the LSD gradient threshold
-   ``quant / sin(ang_th)`` (the same rho as LSD derives from its options).
-3. Connected components of orientation-aligned support pixels via
-   label propagation with pointer jumping (O(log diameter) rounds, all
-   masked min-gathers — no data-dependent loops).
-4. Per-component moment accumulation (scatter-add) -> PCA line fit;
-   exact endpoints from a second scatter (min/max projection on the
-   principal axis).
-5. Gates mirroring the reference filters: relative minimum length
-   (min_line_length * image diagonal, config.cpp:108), width/density
-   (density_th), then top-K by length (keep top ``lsd_nfeatures`` by
-   response, stereoFrame.cpp:1155-1227).
+1. Gaussian smooth + Sobel -> gradient magnitude and angle; support mask at
+   the LSD gradient threshold ``quant / sin(ang_th)`` (the same rho LSD
+   derives from its options).
+2. Support pixels are partitioned into 16 gradient-angle bins (8 line
+   orientations x 2 gradient polarities, so the two edges of a bright ridge
+   stay separate exactly as in LSD's full-circle level-line comparison).
+3. Per bin: a 3x3-dilated corridor, then run-length counting along the bin's
+   lattice step direction by logarithmic doubling — ``rounds`` rounds of
+   pure ``jnp.roll`` (no gathers). Run ends + lengths come out as dense maps.
+4. One global top-K extracts the longest run fragments; each fragment is
+   sub-pixel refined by gradient-weighted perpendicular centroids at a few
+   sample taps (the only gathers in the whole detector: ~40 per fragment)
+   and a weighted PCA line fit.
+5. Collinear fragments are merged by connected components over a dense
+   [F, F] adjacency (angle / perpendicular-offset / gap gates) — this stitches
+   the staircase breaks a lattice-aligned scan produces on oblique lines.
+6. Gates mirroring the reference filters: relative minimum length
+   (min_line_length * image diagonal, config.cpp:108), stroke width
+   (density_th analog), support density, then top ``lsd_nfeatures`` by
+   length (stereoFrame.cpp:1155-1227).
 
 Output is a fixed-capacity padded segment set.
 """
@@ -32,31 +41,187 @@ import numpy as np
 
 from gfplslam_tpu.ops.pyramid import gaussian_blur, sobel
 
+F_SLOTS = 1024       # fragment capacity between extraction and merging
+N_SAMPLES = 8        # refinement samples along each fragment
+N_PERP = 5           # perpendicular taps per sample (offsets -2..2)
 
-CAND_SLOTS = 32768  # compacted support-pixel capacity (strongest gradients)
+# Lattice step (dx, dy) whose direction best approximates line angle
+# s * 22.5 deg (x right, y down); max mismatch 4.1 deg.
+STEPS = np.array([
+    (1, 0), (2, 1), (1, 1), (1, 2), (0, 1), (-1, 2), (-1, 1), (-2, 1),
+], dtype=np.int32)
+STEP_LEN = np.sqrt((STEPS ** 2).sum(axis=1)).astype(np.float32)
 
 
 class LineSegments(NamedTuple):
     sp: jax.Array      # [N, 2] float32 start point (x, y)
     ep: jax.Array      # [N, 2] float32 end point (x, y)
-    angle: jax.Array   # [N] float32 orientation in (-pi/2, pi/2]
+    angle: jax.Array   # [N] float32 orientation in (-pi, pi]
     length: jax.Array  # [N] float32
     score: jax.Array   # [N] float32 response (avg gradient magnitude)
     valid: jax.Array   # [N] bool
 
 
-def _angle_diff_mod_2pi(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Smallest circular difference between level-line angles (mod 2pi).
+def _max3(x: jax.Array) -> jax.Array:
+    """Separable 3x3 max via rolls (cheaper than reduce_window here)."""
+    r = jnp.maximum(x, jnp.maximum(jnp.roll(x, 1, 0), jnp.roll(x, -1, 0)))
+    return jnp.maximum(r, jnp.maximum(jnp.roll(r, 1, 1), jnp.roll(r, -1, 1)))
 
-    LSD compares level-line angles on the full circle, so the two edges of a
-    bright ridge (opposite gradient signs) grow into separate regions."""
-    d = jnp.abs(a - b) % (2 * jnp.pi)
-    return jnp.minimum(d, 2 * jnp.pi - d)
+
+def _dilate3(m: jax.Array) -> jax.Array:
+    """3x3 binary dilation (staircase tolerance for oblique runs)."""
+    return _max3(m)
+
+
+def _run_ends(support: jax.Array, bin16: jax.Array, rounds: int
+              ) -> tuple[jax.Array, jax.Array]:
+    """Dense run-length doubling over the 16 orientation/polarity bins.
+
+    Returns (best_len_px [H, W], best_bin [H, W]): at each run-end pixel the
+    longest run's pixel length and its bin; 0 elsewhere. Pure rolls — the
+    doubling guard ``len == 2^r`` can never accept a wrapped source, because
+    a run reaching the (zeroed) border breaks before the wrap matters.
+    """
+    vals = []
+    for k in range(16):
+        m = support & (bin16 == k)
+        cor = _dilate3(m)
+        dx, dy = int(STEPS[(k + 4) % 8][0]), int(STEPS[(k + 4) % 8][1])
+        ln = cor.astype(jnp.int32)
+        for r in range(rounds):
+            step = 1 << r
+            behind = jnp.roll(ln, (step * dy, step * dx), (0, 1))
+            ln = ln + jnp.where(ln == step, behind, 0)
+        nxt = jnp.roll(cor, (-dy, -dx), (0, 1))
+        endmask = cor & ~nxt
+        vals.append(jnp.where(endmask, ln.astype(jnp.float32)
+                              * float(STEP_LEN[(k + 4) % 8]), 0.0))
+    v = jnp.stack(vals)                       # [16, H, W]
+    best = jnp.max(v, axis=0)
+    best_bin = jnp.argmax(v, axis=0).astype(jnp.int32)
+    # 3x3 NMS with positional tie-break: the dilated corridor produces 2-3
+    # parallel duplicate runs per line; keep one end pixel per neighborhood
+    # so fragment slots go to distinct lines.
+    hw = best.shape[0] * best.shape[1]
+    enc = ((jnp.minimum(jnp.round(best * 4.0), 4000.0).astype(jnp.int32)
+            * (1 << 19))
+           + jnp.arange(hw, dtype=jnp.int32).reshape(best.shape) % (1 << 19))
+    best = jnp.where((enc == _max3(enc)) & (best > 0), best, 0.0)
+    return best, best_bin
+
+
+def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
+                      start: jax.Array, end: jax.Array, rho: float):
+    """Sub-pixel refinement: gradient-weighted perpendicular centroids at
+    N_SAMPLES points -> weighted PCA line fit. Taps are weighted by gradient
+    -angle agreement with the fragment's bin so the opposite edge of a bright
+    ridge (antiparallel gradient, 2-3 px away) does not pull the centroid or
+    inflate the stroke width. Returns (center [F,2], dir [F,2] unit,
+    sp [F,2], ep [F,2], width [F], density [F], wsum [F])."""
+    h, w = mag.shape
+    t = jnp.linspace(0.0, 1.0, N_SAMPLES)[None, :, None]     # [1, S, 1]
+    pos = start[:, None, :] + t * (end - start)[:, None, :]  # [F, S, 2]
+    seg = end - start
+    seg_n = jnp.maximum(jnp.linalg.norm(seg, axis=1, keepdims=True), 1e-6)
+    dirc = seg / seg_n                                       # [F, 2]
+    nrm = jnp.stack([-dirc[:, 1], dirc[:, 0]], axis=1)       # [F, 2]
+    offs = jnp.arange(-(N_PERP // 2), N_PERP // 2 + 1,
+                      dtype=jnp.float32)                     # [5]
+    taps = (pos[:, :, None, :]
+            + offs[None, None, :, None] * nrm[:, None, None, :])  # [F,S,5,2]
+    xi = jnp.clip(jnp.round(taps[..., 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(taps[..., 1]).astype(jnp.int32), 0, h - 1)
+    pol = jnp.maximum(jnp.cos(ga[yi, xi] - bin_ang[:, None, None]), 0.0)
+    # noise floor: only support-strength taps carry weight (LSD regions only
+    # contain pixels above rho; sub-threshold noise must not widen the fit)
+    wts = jnp.maximum(mag[yi, xi] * pol * pol - 0.5 * rho, 0.0)  # [F, S, 5]
+    wsum_s = jnp.sum(wts, axis=2)                            # [F, S]
+    safe = jnp.maximum(wsum_s, 1e-6)
+    perp_off = jnp.sum(wts * offs[None, None, :], axis=2) / safe
+    pts = pos + perp_off[..., None] * nrm[:, None, :]        # [F, S, 2]
+    # stroke width from the perpendicular second moment (uniform stroke of
+    # width W has variance W^2/12)
+    var_perp = jnp.maximum(
+        jnp.sum(wts * offs[None, None, :] ** 2, axis=2) / safe
+        - perp_off ** 2, 0.0)
+    width = jnp.sqrt(12.0 * jnp.sum(var_perp * wsum_s, axis=1)
+                     / jnp.maximum(jnp.sum(wsum_s, axis=1), 1e-6))
+    density = jnp.mean((jnp.max(wts, axis=2) > rho).astype(jnp.float32),
+                       axis=1)
+    # weighted PCA
+    wsum = jnp.sum(wsum_s, axis=1)                           # [F]
+    wn = wsum_s / jnp.maximum(wsum, 1e-6)[:, None]
+    c = jnp.sum(wn[..., None] * pts, axis=1)                 # [F, 2]
+    d = pts - c[:, None, :]
+    sxx = jnp.sum(wn * d[..., 0] ** 2, axis=1)
+    sxy = jnp.sum(wn * d[..., 0] * d[..., 1], axis=1)
+    syy = jnp.sum(wn * d[..., 1] ** 2, axis=1)
+    tr = sxx + syy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - (sxx * syy - sxy * sxy), 0.0))
+    lam1 = tr / 2 + disc
+    ex = jnp.where(jnp.abs(sxy) > 1e-9, lam1 - syy, 1.0)
+    ey = jnp.where(jnp.abs(sxy) > 1e-9, sxy, 0.0)
+    en = jnp.maximum(jnp.sqrt(ex * ex + ey * ey), 1e-9)
+    fit = jnp.stack([ex / en, ey / en], axis=1)
+    # keep the fit direction aligned with the coarse run direction
+    flip = jnp.sum(fit * dirc, axis=1) < 0
+    fit = jnp.where(flip[:, None], -fit, fit)
+    # degenerate fits (no gradient support) fall back to the lattice direction
+    fit = jnp.where((wsum > 1e-3)[:, None], fit, dirc)
+    c = jnp.where((wsum > 1e-3)[:, None], c, 0.5 * (start + end))
+    t_sp = jnp.sum((start - c) * fit, axis=1)
+    t_ep = jnp.sum((end - c) * fit, axis=1)
+    sp = c + t_sp[:, None] * fit
+    ep = c + t_ep[:, None] * fit
+    return c, fit, sp, ep, width, density, wsum
+
+
+def _merge_collinear(c, dirv, sp, ep, length, support_px, width, wsum, valid,
+                     max_gap: float = 4.0, max_perp: float = 2.0,
+                     min_cos: float = float(np.cos(np.deg2rad(12.0)))):
+    """Connected components over a dense fragment-collinearity adjacency;
+    returns per-ROOT merged segments (non-roots invalidated)."""
+    f = c.shape[0]
+    delta = c[None, :, :] - c[:, None, :]                  # [F, F, 2]
+    dots = jnp.abs(jnp.sum(dirv[:, None, :] * dirv[None, :, :], axis=2))
+    perp = jnp.abs(dirv[:, None, 0] * delta[..., 1]
+                   - dirv[:, None, 1] * delta[..., 0])
+    along = jnp.abs(jnp.sum(dirv[:, None, :] * delta, axis=2))
+    gap = along - 0.5 * (length[:, None] + length[None, :])
+    adj = ((dots > min_cos) & (perp < max_perp) & (gap < max_gap)
+           & valid[:, None] & valid[None, :])
+    adj = adj | jnp.eye(f, dtype=bool)
+
+    lab = jnp.where(valid, jnp.arange(f, dtype=jnp.int32), f - 1)
+    for _ in range(6):
+        neigh = jnp.min(jnp.where(adj, lab[None, :], f), axis=1)
+        lab = jnp.minimum(lab, neigh.astype(jnp.int32))
+        lab = lab[lab]
+        lab = lab[lab]
+
+    dir_r = dirv[lab]
+    c_r = c[lab]
+    t_sp = jnp.sum((sp - c_r) * dir_r, axis=1)
+    t_ep = jnp.sum((ep - c_r) * dir_r, axis=1)
+    big = jnp.float32(1e9)
+    t_lo = jnp.minimum(t_sp, t_ep)
+    t_hi = jnp.maximum(t_sp, t_ep)
+    tmin = jnp.full(f, big).at[lab].min(jnp.where(valid, t_lo, big))
+    tmax = jnp.full(f, -big).at[lab].max(jnp.where(valid, t_hi, -big))
+    sup = jnp.zeros(f).at[lab].add(jnp.where(valid, support_px, 0.0))
+    wtot = jnp.zeros(f).at[lab].add(jnp.where(valid, wsum, 0.0))
+    wid = jnp.zeros(f).at[lab].max(jnp.where(valid, width, 0.0))
+
+    is_root = valid & (lab == jnp.arange(f))
+    mlen = jnp.where(is_root, tmax - tmin, 0.0)
+    msp = c + tmin[:, None] * dirv
+    mep = c + tmax[:, None] * dirv
+    return is_root, msp, mep, mlen, sup, wid, wtot
 
 
 @partial(jax.jit, static_argnames=("n_out", "rounds", "ang_th_deg", "quant",
                                    "min_rel_length", "max_width"))
-def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 8,
+def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 9,
                  ang_th_deg: float = 22.5, quant: float = 2.0,
                  min_rel_length: float = 0.025,
                  max_width: float = 3.0) -> LineSegments:
@@ -69,139 +234,59 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 8,
     gx = gx / 8.0
     gy = gy / 8.0
     mag = jnp.sqrt(gx * gx + gy * gy)
-    # level-line angle = gradient angle + pi/2, orientation mod pi
-    ang = jnp.arctan2(gy, gx) + jnp.pi / 2
     ang_tol = float(np.deg2rad(ang_th_deg))
     rho = quant / np.sin(ang_tol)
+    ga = jnp.arctan2(gy, gx)
+    bin16 = jnp.mod(jnp.round(ga / (np.pi / 8)).astype(jnp.int32), 16)
     support = mag > rho
-    # exclude 1px border (roll wrap)
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
-    support &= (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
+    support &= (yy > 1) & (yy < h - 2) & (xx > 1) & (xx < w - 2)
 
-    # --- compact support pixels to a fixed candidate list ---
-    # TPU random gathers price by element count AND table size; running the
-    # label rounds on a [CAND] compacted list instead of the [H*W] image cut
-    # propagation cost ~5x. Strongest-gradient pixels win the slots (LSD
-    # also orders region growing by decreasing magnitude).
-    n_cand = min(CAND_SLOTS, h * w)
-    flat_sup = support.reshape(-1)
-    flat_mag = jnp.where(flat_sup, mag.reshape(-1), -1.0)
-    _, cand_px = jax.lax.top_k(flat_mag, n_cand)      # pixel ids
-    cand_ok = flat_mag[cand_px] > 0
-    # raster-order the slots: spatially monotone ids give the min-label +
-    # pointer-jump iteration its O(log L) path-halving behavior (random
-    # magnitude-ordered ids fragmented long components)
-    cand_px = jnp.sort(jnp.where(cand_ok, cand_px, h * w))
-    cand_ok = cand_px < h * w
-    cand_px = jnp.where(cand_ok, cand_px, 0)
-    # inverse map pixel -> slot (+1 so 0 means "none")
-    inv = jnp.zeros(h * w, jnp.int32).at[
-        jnp.where(cand_ok, cand_px, h * w - 1)].max(
-        jnp.where(cand_ok, jnp.arange(n_cand, dtype=jnp.int32) + 1, 0))
-    cx_i = cand_px % w
-    cy_i = cand_px // w
-    cand_ang = ang.reshape(-1)[cand_px]
+    best_len, best_bin = _run_ends(support, bin16, rounds)
 
-    # neighbor slots (8) with alignment gates, built once
-    nbr_slots = []
-    nbr_ok = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            nx = cx_i + dx
-            ny = cy_i + dy
-            inb = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
-            np_id = jnp.clip(ny * w + nx, 0, h * w - 1)
-            slot1 = inv[np_id]                        # slot+1 or 0
-            ok = cand_ok & inb & (slot1 > 0)
-            slot = jnp.clip(slot1 - 1, 0, n_cand - 1)
-            na = cand_ang[slot]
-            ok &= _angle_diff_mod_2pi(cand_ang, na) < ang_tol
-            nbr_slots.append(slot)
-            nbr_ok.append(ok)
-    nbr_slots = jnp.stack(nbr_slots, 1)               # [CAND, 8]
-    nbr_ok = jnp.stack(nbr_ok, 1)
+    # --- fragment extraction: one global top-K over run-end pixels ---
+    f = min(F_SLOTS, h * w)
+    flat = best_len.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, f)
+    frag_ok = vals >= 3.0                       # minimum fragment extent (px)
+    ex = (idx % w).astype(jnp.float32)
+    ey = (idx // w).astype(jnp.float32)
+    kbin = best_bin.reshape(-1)[idx]
+    step = jnp.asarray(STEPS, jnp.float32)[(kbin + 4) % 8]     # [F, 2]
+    slen = jnp.asarray(STEP_LEN)[(kbin + 4) % 8]
+    nsteps = jnp.maximum(jnp.round(vals / slen), 1.0)
+    end = jnp.stack([ex, ey], axis=1)
+    start = end - (nsteps - 1.0)[:, None] * step
 
-    big = jnp.int32(n_cand + 1)
-    lab0 = jnp.where(cand_ok, jnp.arange(n_cand, dtype=jnp.int32), big)
+    c, dirv, sp, ep, width, density, wsum = _refine_fragments(
+        mag, ga, kbin.astype(jnp.float32) * float(np.pi / 8), start, end, rho)
+    length = jnp.linalg.norm(ep - sp, axis=1)
+    frag_ok &= jnp.isfinite(length) & (density > 0.4)
 
-    def body(_, lab):
-        nl = lab[nbr_slots]                           # [CAND, 8]
-        best = jnp.min(jnp.where(nbr_ok, nl, big), axis=1)
-        lab = jnp.minimum(lab, jnp.where(cand_ok, best, big))
-        safe = jnp.clip(lab, 0, n_cand - 1)
-        lab = jnp.minimum(lab, jnp.where(lab < big, lab[safe], big))
-        safe = jnp.clip(lab, 0, n_cand - 1)
-        lab = jnp.minimum(lab, jnp.where(lab < big, lab[safe], big))
-        return lab
+    is_root, msp, mep, mlen, sup, wid, wtot = _merge_collinear(
+        c, dirv, sp, ep, length, vals, width, wsum, frag_ok)
 
-    labels = jax.lax.fori_loop(0, rounds, body, lab0)
-
-    # --- per-component moments via one fused scatter into [CAND] bins ---
-    in_comp = labels < big
-    flat_lab = jnp.clip(labels, 0, n_cand - 1)
-    fx = cx_i.astype(jnp.float32)
-    fy = cy_i.astype(jnp.float32)
-    fm = mag.reshape(-1)[cand_px]
-    one = in_comp.astype(jnp.float32)
-    payload = jnp.stack([one, fx, fy, fx * fx, fx * fy, fy * fy, fm], axis=1)
-    payload = jnp.where(in_comp[:, None], payload, 0.0)
-    moments = jnp.zeros((n_cand, 7), jnp.float32).at[flat_lab].add(payload)
-    cnt, sx, sy, sxx, sxy, syy, smag = [moments[:, i] for i in range(7)]
-
-    # top-K components by pixel count
-    k = n_out
-    top_cnt, top_lab = jax.lax.top_k(cnt, k)
-
-    cxm = sx[top_lab] / jnp.maximum(top_cnt, 1.0)
-    cym = sy[top_lab] / jnp.maximum(top_cnt, 1.0)
-    vxx = sxx[top_lab] / jnp.maximum(top_cnt, 1.0) - cxm * cxm
-    vxy = sxy[top_lab] / jnp.maximum(top_cnt, 1.0) - cxm * cym
-    vyy = syy[top_lab] / jnp.maximum(top_cnt, 1.0) - cym * cym
-    # principal axis of the 2x2 covariance
-    tr = vxx + vyy
-    det = vxx * vyy - vxy * vxy
-    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
-    lam1 = tr / 2 + disc
-    lam2 = jnp.maximum(tr / 2 - disc, 0.0)
-    # eigvec for lam1
-    dirx = jnp.where(jnp.abs(vxy) > 1e-9, lam1 - vyy, 1.0)
-    diry = jnp.where(jnp.abs(vxy) > 1e-9, vxy, 0.0)
-    nrm = jnp.sqrt(dirx * dirx + diry * diry)
-    dirx = dirx / jnp.maximum(nrm, 1e-9)
-    diry = diry / jnp.maximum(nrm, 1e-9)
-
-    # --- endpoints from second moments: centroid +- dir * L/2 with
-    # L = sqrt(12 lambda_1) (exact for a uniform segment; avoids a second
-    # scatter pass over the image, which measured ~15 ms/frame on TPU) ---
-    half_len = jnp.sqrt(12.0 * jnp.maximum(lam1, 0.0)) * 0.5
-    tmin = -half_len
-    tmax = half_len
-
-    spx = cxm + tmin * dirx
-    spy = cym + tmin * diry
-    epx = cxm + tmax * dirx
-    epy = cym + tmax * diry
-    length = tmax - tmin
-    width = jnp.sqrt(12.0 * lam2)
-    # density: support pixels per unit length (a 1px-wide perfect segment
-    # has cnt ~= length); LSD's density_th analog
-    density = top_cnt / jnp.maximum(length, 1.0)
-
+    # --- gates mirroring the reference filters ---
     diag = float(np.hypot(h, w))
-    ok = (top_cnt >= 8)
-    ok &= length >= min_rel_length * diag
-    ok &= width <= max_width
-    ok &= density >= 0.6
-    ok &= jnp.isfinite(length)
+    ok = is_root
+    ok &= mlen >= min_rel_length * diag
+    ok &= wid <= max_width
+    ok &= jnp.clip(sup / jnp.maximum(mlen, 1.0), 0.0, 2.0) >= 0.6
+    ok &= jnp.isfinite(mlen)
 
-    score = smag[top_lab] / jnp.maximum(top_cnt, 1.0)
-    # order by length (response), invalid last
-    order = jnp.argsort(jnp.where(ok, -length, jnp.inf))
+    score = wtot / jnp.maximum(mlen, 1.0)
+    order = jnp.argsort(jnp.where(ok, -mlen, jnp.inf))[:n_out]
+
     def g(a):
-        return a[order]
+        out = a[order]
+        if n_out > order.shape[0]:
+            out = jnp.pad(out, [(0, n_out - order.shape[0])]
+                          + [(0, 0)] * (out.ndim - 1))
+        return out
+
+    spx, spy = msp[:, 0], msp[:, 1]
+    epx, epy = mep[:, 0], mep[:, 1]
     # canonical endpoint order: sp.x <= ep.x (ties: smaller y first)
     swap = (epx < spx) | ((epx == spx) & (epy < spy))
     spx2 = jnp.where(swap, epx, spx)
@@ -213,4 +298,4 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 8,
     return LineSegments(
         sp=jnp.stack([g(spx2), g(spy2)], -1),
         ep=jnp.stack([g(epx2), g(epy2)], -1),
-        angle=g(angle), length=g(length), score=g(score), valid=g(ok))
+        angle=g(angle), length=g(mlen), score=g(score), valid=g(ok))

@@ -53,6 +53,30 @@ def make_brief_pattern(seed: int = 1234, n_bits: int = DESC_BITS,
 BRIEF_PATTERN = make_brief_pattern()
 
 
+def make_brief_pool(seed: int = 1234, n_pool: int = DESC_BITS,
+                    n_bits: int = DESC_BITS, radius: int = 13):
+    """Sample-pool BRIEF: ``n_pool`` isotropic-Gaussian offsets plus
+    ``n_bits`` comparison pairs drawn from the pool (each sample feeds ~2
+    bits). Halves the per-keypoint gather count vs independent pairs at a
+    negligible descriptor-correlation cost. Deterministic."""
+    rng = np.random.default_rng(seed)
+    sigma = (2 * radius + 1) / 5.0
+    pool = np.clip(np.round(rng.normal(scale=sigma, size=(n_pool, 2))),
+                   -radius, radius).astype(np.int32)
+    pairs = set()
+    out = []
+    while len(out) < n_bits:
+        i, j = rng.integers(0, n_pool, 2)
+        key = (min(i, j), max(i, j))
+        if i != j and key not in pairs and not np.array_equal(pool[i], pool[j]):
+            pairs.add(key)
+            out.append((i, j))
+    return pool, np.asarray(out, np.int32)
+
+
+BRIEF_POOL, BRIEF_PAIRS = make_brief_pool()
+
+
 def _gather_patch(img: jax.Array, cx: jax.Array, cy: jax.Array,
                   radius: int) -> jax.Array:
     """[2r+1, 2r+1] patch around (cx, cy) with clamped borders."""
@@ -78,27 +102,64 @@ def ic_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
     return jax.vmap(lambda p: ic_angle_one(img, p))(xy)
 
 
+def _box_filter(x: jax.Array, radius: int) -> jax.Array:
+    """(2r+1)-square box sum via cumsum + shifted differences (dense)."""
+    from gfplslam_tpu.ops.pyramid import _shift
+    for axis in (0, 1):
+        c = jnp.cumsum(x, axis=axis)
+        lo = (radius, 0) if axis == 0 else (0, radius)
+        hi = (-radius - 1, 0) if axis == 0 else (0, -radius - 1)
+        x = _shift(c, -lo[0], -lo[1]) - _shift(c, -hi[0], -hi[1])
+    return x
+
+
+def ic_angle_maps(img: jax.Array, radius: int = PATCH_RADIUS
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Dense intensity-centroid moment maps (m10, m01) over a square window.
+
+    TPU-native replacement for per-keypoint disc-patch gathers (IC_Angle,
+    ORBextractor.cc:77-102): three cumsum-based box filters compute the
+    centered first moments for EVERY pixel; per-keypoint work drops to two
+    1-element gathers. The square window (vs the reference's disc) changes
+    angles slightly — descriptors are self-consistent in-engine, so only
+    determinism and stability matter."""
+    h, w = img.shape
+    xr = jnp.arange(w, dtype=img.dtype)[None, :]
+    yr = jnp.arange(h, dtype=img.dtype)[:, None]
+    s = _box_filter(img, radius)
+    sx = _box_filter(img * xr, radius)
+    sy = _box_filter(img * yr, radius)
+    return sx - xr * s, sy - yr * s
+
+
+def ic_angles_dense(img: jax.Array, xy: jax.Array) -> jax.Array:
+    """[N,2] keypoints -> [N] angles via the dense moment maps (two gathers
+    per keypoint instead of a 31x31 patch gather)."""
+    h, w = img.shape
+    m10, m01 = ic_angle_maps(img)
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    return jnp.arctan2(m01[yi, xi], m10[yi, xi])
+
+
 def brief_descriptor_one(img_blur: jax.Array, xy: jax.Array,
                          angle: jax.Array) -> jax.Array:
     """256-bit steered BRIEF of one keypoint -> [8] uint32.
 
-    Pattern points are rotated by the keypoint angle and rounded, matching the
-    reference's steered sampling (ORBextractor.cc:103-142 GET_VALUE).
+    Pool offsets are rotated by the keypoint angle and rounded, matching the
+    reference's steered sampling (ORBextractor.cc:103-142 GET_VALUE); bits
+    compare pool-sample pairs (one gather per pool sample).
     """
     h, w = img_blur.shape
-    pat = jnp.asarray(BRIEF_PATTERN, jnp.float32)       # [256, 4]
+    pool = jnp.asarray(BRIEF_POOL, jnp.float32)         # [P, 2]
     ca, sa = jnp.cos(angle), jnp.sin(angle)
-    def rot(px, py):
-        rx = jnp.round(ca * px - sa * py)
-        ry = jnp.round(sa * px + ca * py)
-        return rx, ry
-    x1, y1 = rot(pat[:, 0], pat[:, 1])
-    x2, y2 = rot(pat[:, 2], pat[:, 3])
-    def sample(px, py):
-        xi = jnp.clip((xy[0] + px).astype(jnp.int32), 0, w - 1)
-        yi = jnp.clip((xy[1] + py).astype(jnp.int32), 0, h - 1)
-        return img_blur[yi, xi]
-    bits = (sample(x1, y1) < sample(x2, y2)).astype(jnp.uint32)  # [256]
+    rx = jnp.round(ca * pool[:, 0] - sa * pool[:, 1])
+    ry = jnp.round(sa * pool[:, 0] + ca * pool[:, 1])
+    xi = jnp.clip((xy[0] + rx).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip((xy[1] + ry).astype(jnp.int32), 0, h - 1)
+    vals = img_blur[yi, xi]                             # [P]
+    pairs = jnp.asarray(BRIEF_PAIRS)
+    bits = (vals[pairs[:, 0]] < vals[pairs[:, 1]]).astype(jnp.uint32)
     words = bits.reshape(DESC_WORDS, 32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(words << shifts[None, :], axis=1, dtype=jnp.uint32)
