@@ -204,10 +204,6 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         cand_infos = info_of(js, ds)                          # [M,9,6,6]
         return jax.vmap(jax.vmap(_min_eig))(rest[:, None] + cand_infos)
 
-    def cond(carry):
-        r0, r1, infos, it, improved = carry
-        return (it < max_steps) & improved
-
     def body(carry):
         r0, r1, infos, it, _ = carry
         info_sum = jnp.sum(infos, axis=0) + pt_sum
@@ -234,9 +230,15 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         n_infos = jnp.where(take[:, None, None], info_of(nj, nd), infos)
         return nr0, nr1, n_infos, it + 1, jnp.any(take)
 
-    r0, r1, infos, iters, _ = jax.lax.while_loop(
-        cond, body, (r0, r1, infos, jnp.asarray(0, jnp.int32),
-                     jnp.asarray(True)))
+    # unrolled with a masked "improved" flag instead of lax.while_loop:
+    # per-iteration device-loop overhead dwarfs the batched 2x2-update body
+    carry = (r0, r1, infos, jnp.asarray(0, jnp.int32), jnp.asarray(True))
+    for _ in range(max_steps):
+        nxt = body(carry)
+        improved = carry[4]
+        carry = jax.tree.map(
+            lambda new, old: jnp.where(improved, new, old), nxt, carry)
+    r0, r1, infos, iters, _ = carry
     info_sum = jnp.sum(infos, axis=0) + pt_sum
     return CutResult(r0=r0, r1=r1, info=infos, info_sum=info_sum, iters=iters)
 

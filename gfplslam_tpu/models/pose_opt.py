@@ -146,26 +146,27 @@ def build_normal_equations(cam: CameraParams, dt: jax.Array,
 
 def gauss_newton(cam: CameraParams, dt0: jax.Array, pts: PointMatches,
                  lns: LineMatches, opt: OptimizerParams, max_iters: int):
-    """GN loop with early stop (gaussNewtonOptimization, :2032-2056)."""
-    def cond(carry):
-        dt, err_prev, it, done = carry
-        return (it < max_iters) & jnp.logical_not(done)
+    """GN loop with early stop (gaussNewtonOptimization, :2032-2056).
 
-    def body(carry):
-        dt, err_prev, it, _ = carry
+    Unrolled with masked updates instead of ``lax.while_loop``: per-iteration
+    device-loop overhead dwarfs the (tiny) body, and converged iterations are
+    no-ops under the ``done`` mask — same fixed budget as the reference."""
+    dt = dt0
+    err_prev = jnp.asarray(1e9, dt0.dtype)
+    done = jnp.asarray(False)
+    for _ in range(max_iters):
         h, g, err = build_normal_equations(cam, dt, pts, lns, opt.homog_th)
-        stop = (jnp.abs(err - err_prev) < opt.min_error_change) | (err < opt.min_error)
+        stop = ((jnp.abs(err - err_prev) < opt.min_error_change)
+                | (err < opt.min_error))
         # LDLT-equivalent 6x6 solve; tiny Tikhonov guard keeps it finite when
         # H is singular (reference relies on Eigen returning garbage then the
         # is_finite gate catching it; we keep the gate too)
         dx = jnp.linalg.solve(h + 1e-12 * jnp.eye(6, dtype=h.dtype), g)
         new_dt = dt @ se3.inverse_se3(se3.expmap_se3(dx))
         small = jnp.linalg.norm(dx) < 1e-7
-        dt_next = jnp.where(stop, dt, new_dt)
-        return dt_next, err, it + 1, stop | small
-
-    dt, err, _, _ = jax.lax.while_loop(
-        cond, body, (dt0, jnp.asarray(1e9, dt0.dtype), 0, jnp.asarray(False)))
+        dt = jnp.where(done | stop, dt, new_dt)
+        err_prev = jnp.where(done, err_prev, err)
+        done = done | stop | small
     h, g, err = build_normal_equations(cam, dt, pts, lns, opt.homog_th)
     cov = jnp.linalg.inv(h + 1e-12 * jnp.eye(6, dtype=h.dtype))
     return dt, cov, err

@@ -50,10 +50,11 @@ def _make_pair_pattern(seed: int = 77, n_bits: int = 256) -> np.ndarray:
 PAIR_PATTERN = _make_pair_pattern()
 
 
-def lbd_float_one(gx: jax.Array, gy: jax.Array, sp: jax.Array, ep: jax.Array
+def lbd_float_one(g2: jax.Array, sp: jax.Array, ep: jax.Array
                   ) -> jax.Array:
-    """72-dim float band descriptor of one segment."""
-    h, w = gx.shape
+    """72-dim float band descriptor of one segment. ``g2`` is the stacked
+    [H, W, 2] (gx, gy) gradient so both components come out of ONE gather."""
+    h, w = g2.shape[:2]
     d = ep - sp
     length = jnp.maximum(jnp.linalg.norm(d), 1e-6)
     dir_par = d / length                       # unit along line
@@ -70,8 +71,9 @@ def lbd_float_one(gx: jax.Array, gy: jax.Array, sp: jax.Array, ep: jax.Array
            + vs[None, :, None] * dir_perp[None, None, :])
     xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, h - 1)
-    gxs = gx[yi, xi]
-    gys = gy[yi, xi]
+    g = g2[yi, xi]
+    gxs = g[..., 0]
+    gys = g[..., 1]
     g_par = gxs * dir_par[0] + gys * dir_par[1]
     g_perp = gxs * dir_perp[0] + gys * dir_perp[1]
 
@@ -102,6 +104,7 @@ def lbd_descriptors(img: jax.Array, sp: jax.Array, ep: jax.Array
                     ) -> tuple[jax.Array, jax.Array]:
     """[N,2] segment endpoints -> ([N, 8] uint32 binary, [N, 72] float)."""
     gx, gy = sobel(img)
-    feats = jax.vmap(lambda s, e: lbd_float_one(gx, gy, s, e))(sp, ep)
+    g2 = jnp.stack([gx, gy], axis=-1)
+    feats = jax.vmap(lambda s, e: lbd_float_one(g2, s, e))(sp, ep)
     binary = jax.vmap(binarize)(feats)
     return binary, feats

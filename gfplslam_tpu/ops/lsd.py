@@ -87,11 +87,11 @@ def _run_ends(support: jax.Array, bin16: jax.Array, rounds: int
         m = support & (bin16 == k)
         cor = _dilate3(m)
         dx, dy = int(STEPS[(k + 4) % 8][0]), int(STEPS[(k + 4) % 8][1])
-        ln = cor.astype(jnp.int32)
+        ln = cor.astype(jnp.int16)          # runs <= 2^rounds fit int16
         for r in range(rounds):
-            step = 1 << r
-            behind = jnp.roll(ln, (step * dy, step * dx), (0, 1))
-            ln = ln + jnp.where(ln == step, behind, 0)
+            step = jnp.int16(1 << r)
+            behind = jnp.roll(ln, ((1 << r) * dy, (1 << r) * dx), (0, 1))
+            ln = ln + jnp.where(ln == step, behind, jnp.int16(0))
         nxt = jnp.roll(cor, (-dy, -dx), (0, 1))
         endmask = cor & ~nxt
         vals.append(jnp.where(endmask, ln.astype(jnp.float32)
@@ -148,6 +148,14 @@ def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
                      / jnp.maximum(jnp.sum(wsum_s, axis=1), 1e-6))
     density = jnp.mean((jnp.max(wts, axis=2) > rho).astype(jnp.float32),
                        axis=1)
+    # orientation dispersion (LSD NFA-alignment analog): a straight edge has
+    # near-constant gradient angle along the fragment; corner/tip arcs spread
+    da = 2.0 * (ga[yi, xi] - bin_ang[:, None, None])
+    wall = jnp.sum(wts, axis=(1, 2))
+    rbar = jnp.sqrt(jnp.sum(wts * jnp.cos(da), (1, 2)) ** 2
+                    + jnp.sum(wts * jnp.sin(da), (1, 2)) ** 2
+                    ) / jnp.maximum(wall, 1e-6)
+    dispersion = 1.0 - rbar
     # weighted PCA
     wsum = jnp.sum(wsum_s, axis=1)                           # [F]
     wn = wsum_s / jnp.maximum(wsum, 1e-6)[:, None]
@@ -159,8 +167,12 @@ def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
     tr = sxx + syy
     disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - (sxx * syy - sxy * sxy), 0.0))
     lam1 = tr / 2 + disc
-    ex = jnp.where(jnp.abs(sxy) > 1e-9, lam1 - syy, 1.0)
-    ey = jnp.where(jnp.abs(sxy) > 1e-9, sxy, 0.0)
+    # principal eigenvector; when sxy ~ 0 the axes ARE the eigenvectors, so
+    # pick by the larger diagonal moment (a plain 1.0 fallback silently made
+    # every exactly-vertical fit horizontal)
+    off_diag = jnp.abs(sxy) > 1e-9
+    ex = jnp.where(off_diag, lam1 - syy, jnp.where(sxx >= syy, 1.0, 0.0))
+    ey = jnp.where(off_diag, sxy, jnp.where(sxx >= syy, 0.0, 1.0))
     en = jnp.maximum(jnp.sqrt(ex * ex + ey * ey), 1e-9)
     fit = jnp.stack([ex / en, ey / en], axis=1)
     # keep the fit direction aligned with the coarse run direction
@@ -173,7 +185,7 @@ def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
     t_ep = jnp.sum((end - c) * fit, axis=1)
     sp = c + t_sp[:, None] * fit
     ep = c + t_ep[:, None] * fit
-    return c, fit, sp, ep, width, density, wsum
+    return c, fit, sp, ep, width, density, wsum, dispersion
 
 
 def _merge_collinear(c, dirv, sp, ep, length, support_px, width, wsum, valid,
@@ -237,6 +249,7 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 9,
     ang_tol = float(np.deg2rad(ang_th_deg))
     rho = quant / np.sin(ang_tol)
     ga = jnp.arctan2(gy, gx)
+
     bin16 = jnp.mod(jnp.round(ga / (np.pi / 8)).astype(jnp.int32), 16)
     support = mag > rho
     yy = jnp.arange(h)[:, None]
@@ -259,10 +272,11 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 9,
     end = jnp.stack([ex, ey], axis=1)
     start = end - (nsteps - 1.0)[:, None] * step
 
-    c, dirv, sp, ep, width, density, wsum = _refine_fragments(
-        mag, ga, kbin.astype(jnp.float32) * float(np.pi / 8), start, end, rho)
+    bin_ang = kbin.astype(jnp.float32) * float(np.pi / 8)
+    c, dirv, sp, ep, width, density, wsum, disp = _refine_fragments(
+        mag, ga, bin_ang, start, end, rho)
     length = jnp.linalg.norm(ep - sp, axis=1)
-    frag_ok &= jnp.isfinite(length) & (density > 0.4)
+    frag_ok &= jnp.isfinite(length) & (density > 0.4) & (disp < 0.25)
 
     is_root, msp, mep, mlen, sup, wid, wtot = _merge_collinear(
         c, dirv, sp, ep, length, vals, width, wsum, frag_ok)
