@@ -309,10 +309,15 @@ def build_edges(kf_pose: jax.Array, kf_valid: jax.Array,
     does the same before correction)."""
     k = kf_pose.shape[0]
     ids = jnp.arange(k)
-    # sequential edges (i, i+1)
-    seq_i = ids[:-1]
+    # sequential edges: each valid KF to the PREVIOUS valid KF (chains across
+    # holes left by remove_redundant_kfs)
+    vid = jnp.where(kf_valid, ids, -1)
+    cm = jax.lax.cummax(vid)
+    prev = jnp.concatenate([jnp.asarray([-1]), cm[:-1]])
+    seq_ok = kf_valid & (prev >= 0)
+    seq_i = jnp.where(seq_ok, prev, 0)[1:]
     seq_j = ids[1:]
-    seq_ok = kf_valid[:-1] & kf_valid[1:]
+    seq_ok = seq_ok[1:]
     # covisibility edges above threshold (upper triangle)
     cov = (full_graph + full_graph.T) >= min_covis
     iu, ju = jnp.triu_indices(k, 1)

@@ -351,6 +351,48 @@ def remove_bad_landmarks(cfg: Config, m: MapState) -> MapState:
         lo_valid=m.lo_valid & ln_valid[m.lo_lm])
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def remove_redundant_kfs(cfg: Config, m: MapState) -> tuple[MapState, jax.Array]:
+    """Cull keyframes whose landmarks are redundantly observed
+    (removeRedundantKFs, mapHandler.cpp:2632-2795 — declared in the
+    reference but disabled there as "slow and buggy"; here it is a working
+    capability). A KF (not KF0, not one of the last min_kf_local_map) is
+    redundant when >= max_common_fts_kf of its observed landmarks carry at
+    least 4 observations (i.e. seen by >= 3 other KFs). Its observations are
+    invalidated, landmark obs counts decremented, and its covisibility
+    row/col cleared; kf_valid marks the hole (pose-graph sequential edges
+    chain across holes). Returns (map, n_removed)."""
+    k = m.kf_pose.shape[0]
+    ids = jnp.arange(k)
+    cur = m.n_kf - 1
+
+    redundant_p = m.po_valid & (m.pt_obs_n[m.po_lm] >= 4)
+    redundant_l = m.lo_valid & (m.ln_obs_n[m.lo_lm] >= 4)
+    per_kf_total = (jnp.zeros(k).at[m.po_kf].add(m.po_valid * 1.0)
+                    .at[m.lo_kf].add(m.lo_valid * 1.0))
+    per_kf_red = (jnp.zeros(k).at[m.po_kf].add(redundant_p * 1.0)
+                  .at[m.lo_kf].add(redundant_l * 1.0))
+    frac = per_kf_red / jnp.maximum(per_kf_total, 1.0)
+    candidate = (m.kf_valid & (ids > 0)
+                 & (ids < cur - cfg.slam.min_kf_local_map)
+                 & (frac >= cfg.slam.max_common_fts_kf))
+
+    drop_obs_p = m.po_valid & candidate[m.po_kf]
+    drop_obs_l = m.lo_valid & candidate[m.lo_kf]
+    pt_obs_n = m.pt_obs_n - (jnp.zeros_like(m.pt_obs_n)
+                             .at[m.po_lm].add(drop_obs_p.astype(jnp.int32)))
+    ln_obs_n = m.ln_obs_n - (jnp.zeros_like(m.ln_obs_n)
+                             .at[m.lo_lm].add(drop_obs_l.astype(jnp.int32)))
+    keep_row = ~candidate
+    fg = jnp.where(keep_row[:, None] & keep_row[None, :], m.full_graph, 0)
+    return m._replace(
+        kf_valid=m.kf_valid & keep_row,
+        po_valid=m.po_valid & ~drop_obs_p,
+        lo_valid=m.lo_valid & ~drop_obs_l,
+        pt_obs_n=pt_obs_n, ln_obs_n=ln_obs_n,
+        full_graph=fg), jnp.sum(candidate)
+
+
 N_FUSE = 256  # candidate landmarks compacted per loop side for fusion
 
 

@@ -31,6 +31,10 @@ class SLAMSystem:
     cfg: Config
     run_local_ba: bool = True
     run_loop_closure: bool = True
+    # working version of the reference's declared-but-disabled
+    # removeRedundantKFs (mapHandler.cpp:2632-2795); opt-in to mirror the
+    # reference's shipped default
+    cull_redundant_kfs: bool = False
     vo: VisualOdometry = None
     map: map_ops.MapState = None
     loop_state: loop_ops.LoopState = None
@@ -75,6 +79,9 @@ class SLAMSystem:
                 if self.run_local_ba:
                     self._local_ba()
                 self.map = map_ops.remove_bad_landmarks(self.cfg, self.map)
+                if self.cull_redundant_kfs:
+                    self.map, _ = map_ops.remove_redundant_kfs(
+                        self.cfg, self.map)
             self.loop_state = loop_ops.insert_kf_bow(
                 self.cfg, self.loop_state, jnp.asarray(kf_idx), frame)
             self.kf_frame_ids.append(self.vo.frame_idx - 1)

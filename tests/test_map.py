@@ -152,3 +152,41 @@ def test_fuse_loop_landmarks(cfg):
     # covisibility gained cross-loop counts between KF2 and KF10
     fg = np.asarray(m2.full_graph)
     assert fg[2, 10] + fg[10, 2] >= n_dup
+
+
+def test_remove_redundant_kfs(cfg):
+    """KFs whose landmarks are all heavily re-observed get culled (the
+    reference declares removeRedundantKFs but ships it disabled); recent
+    KFs and KF0 are protected, obs counts/graph rows are cleaned up."""
+    m = map_ops.empty_map(cfg)
+    n_kf, n_lm = 8, 20
+    m = m._replace(
+        n_kf=jnp.asarray(n_kf, jnp.int32),
+        kf_valid=m.kf_valid.at[:n_kf].set(True),
+        pt_valid=m.pt_valid.at[:n_lm].set(True),
+        pt_obs_n=m.pt_obs_n.at[:n_lm].set(n_kf),
+    )
+    # every KF observes every landmark
+    kf_ids = np.repeat(np.arange(n_kf), n_lm)
+    lm_ids = np.tile(np.arange(n_lm), n_kf)
+    n_obs = n_kf * n_lm
+    m = m._replace(
+        po_kf=m.po_kf.at[:n_obs].set(jnp.asarray(kf_ids)),
+        po_lm=m.po_lm.at[:n_obs].set(jnp.asarray(lm_ids)),
+        po_valid=m.po_valid.at[:n_obs].set(True),
+        full_graph=m.full_graph.at[:n_kf, :n_kf].set(n_lm),
+    )
+    m2, n_removed = map_ops.remove_redundant_kfs(cfg, m)
+    removed = ~np.asarray(m2.kf_valid[:n_kf])
+    assert int(n_removed) == removed.sum() > 0
+    # KF0 and the last min_kf_local_map+1 KFs survive
+    assert not removed[0]
+    assert not removed[-(cfg.slam.min_kf_local_map + 1):].any()
+    # removed KFs' observations invalidated and obs counts decremented
+    po_kf = np.asarray(m2.po_kf[:n_obs])
+    po_ok = np.asarray(m2.po_valid[:n_obs])
+    assert not po_ok[np.isin(po_kf, np.nonzero(removed)[0])].any()
+    assert np.all(np.asarray(m2.pt_obs_n[:n_lm]) == n_kf - removed.sum())
+    # covisibility rows of removed KFs cleared
+    fg = np.asarray(m2.full_graph)
+    assert fg[removed.nonzero()[0]].sum() == 0
