@@ -131,10 +131,13 @@ def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
             + offs[None, None, :, None] * nrm[:, None, None, :])  # [F,S,5,2]
     xi = jnp.clip(jnp.round(taps[..., 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(taps[..., 1]).astype(jnp.int32), 0, h - 1)
-    pol = jnp.maximum(jnp.cos(ga[yi, xi] - bin_ang[:, None, None]), 0.0)
+    # one two-channel gather for (mag, grad angle) — gathers dominate here
+    mg = jnp.stack([mag, ga], axis=-1)[yi, xi]               # [F, S, P, 2]
+    ga_tap = mg[..., 1]
+    pol = jnp.maximum(jnp.cos(ga_tap - bin_ang[:, None, None]), 0.0)
     # noise floor: only support-strength taps carry weight (LSD regions only
     # contain pixels above rho; sub-threshold noise must not widen the fit)
-    wts = jnp.maximum(mag[yi, xi] * pol * pol - 0.5 * rho, 0.0)  # [F, S, 5]
+    wts = jnp.maximum(mg[..., 0] * pol * pol - 0.5 * rho, 0.0)  # [F, S, 5]
     wsum_s = jnp.sum(wts, axis=2)                            # [F, S]
     safe = jnp.maximum(wsum_s, 1e-6)
     perp_off = jnp.sum(wts * offs[None, None, :], axis=2) / safe
@@ -150,7 +153,7 @@ def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
                        axis=1)
     # orientation dispersion (LSD NFA-alignment analog): a straight edge has
     # near-constant gradient angle along the fragment; corner/tip arcs spread
-    da = 2.0 * (ga[yi, xi] - bin_ang[:, None, None])
+    da = 2.0 * (ga_tap - bin_ang[:, None, None])
     wall = jnp.sum(wts, axis=(1, 2))
     rbar = jnp.sqrt(jnp.sum(wts * jnp.cos(da), (1, 2)) ** 2
                     + jnp.sum(wts * jnp.sin(da), (1, 2)) ** 2
