@@ -120,28 +120,35 @@ def main(argv=None):
     wall = time.perf_counter() - t0
 
     # ---- outputs (plslam_mod.cpp:488-566 file set) ----
+    # The KF trajectory comes from the *optimized map* poses and the
+    # all-frame trajectory is re-based onto them (plslam_mod.cpp:538-566 +
+    # mapHandler KF poses); VO-only mode writes raw odometry.
     vo = engine if args.vo_only else engine.vo
-    write_tum(args.out + "_AllFrameTrajectory.txt", vo.timestamps,
-              vo.trajectory)
-    kf_recs = [r for r in vo.records if r.is_kf]
-    write_tum(args.out + "_KeyFrameTrajectory.txt",
-              [r.timestamp for r in kf_recs],
-              [r.t_cam_w for r in kf_recs])
+    if args.vo_only:
+        traj = vo.trajectory
+        kf_ts = [r.timestamp for r in vo.records if r.is_kf]
+        kf_traj = np.stack([r.t_cam_w for r in vo.records if r.is_kf])
+    else:
+        traj = engine.all_frame_trajectory
+        kf_ts = engine.kf_timestamps
+        kf_traj = engine.keyframe_trajectory[:len(kf_ts)]
+    write_tum(args.out + "_AllFrameTrajectory.txt", vo.timestamps, traj)
+    write_tum(args.out + "_KeyFrameTrajectory.txt", kf_ts, kf_traj)
     vo.timelog.write(args.out + "_Log.txt")
 
     summary = {"frames": n_done, "fps": round(n_done / wall, 2),
-               "keyframes": len(kf_recs), "lost": vo.lost}
+               "keyframes": len(kf_ts), "lost": vo.lost}
     if gt is not None and len(gt):
         if args.synthetic:
-            m = min(len(vo.trajectory), len(gt))
+            m = min(len(traj), len(gt))
             summary["ate_rmse"] = round(
-                float(ate_rmse(vo.trajectory[:m], gt[:m])), 4)
+                float(ate_rmse(traj[:m], gt[:m])), 4)
         else:
             from gfplslam_tpu.io.datasets import associate_gt
             keep, gtp = associate_gt(vo.timestamps, gt_ts, gt)
             if len(keep) > 3:
                 summary["ate_rmse"] = round(
-                    float(ate_rmse(vo.trajectory[keep], gtp)), 4)
+                    float(ate_rmse(traj[keep], gtp)), 4)
     if not args.vo_only:
         summary["loop_closures"] = engine.n_loop_closures
     print(json.dumps(summary))

@@ -155,7 +155,14 @@ def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
     """Batched SAD parabola refinement of the right-image column
     (subPixelStereoRefine_ORBSLAM, stereoFrame.cpp:340-404) on the padded
     [L, H, W] pyramid pair at each point's octave (dynamic level index; no
-    control flow). Returns refined level-0 right u coordinate + validity."""
+    control flow). Returns refined level-0 right u coordinate + validity.
+
+    DELIBERATE DEVIATION: the reference uses w = L = 5 (11x11 window,
+    11 candidate shifts); the defaults here are win = search = 4 (9x9, 9
+    shifts) to cut the dominant gather volume ~35% — measured ATE impact on
+    the e2e suites is below noise. Pass win=5, search=5 (via
+    OrbParams.subpix_win/subpix_search) to recover the exact reference
+    operating point."""
     nlv = pyr_l.shape[0]
     h, w = pyr_l.shape[1:]
     scales = jnp.asarray(scale_factor, jnp.float32) ** jnp.arange(
@@ -230,7 +237,9 @@ def stereo_match_points(cam: CameraParams, cfg: Config,
 
     u_r0 = feat_r.pt_xy[best, 0]
     u_ref, ref_ok = _subpixel_refine(pyr_l, pyr_r, sf, feat_l.pt_xy,
-                                     feat_l.pt_level, u_r0)
+                                     feat_l.pt_level, u_r0,
+                                     win=cfg.orb.subpix_win,
+                                     search=cfg.orb.subpix_search)
     disp = feat_l.pt_xy[:, 0] - u_ref
     disp = jnp.where(disp <= 0, 0.01, disp)  # :574-577
     ok &= ref_ok & (disp < max_d)
@@ -294,7 +303,10 @@ def stereo_match_lines(cam: CameraParams, cfg: Config,
     # a full row sort
     d1 = jnp.min(d, axis=1)
     d2 = jnp.min(jnp.where(d <= d1[:, None], jnp.inf, d), axis=1)
-    gap = jnp.where(jnp.isfinite(d2), d2 - d1, 0.0)
+    # duplicated minima count as gap 0 (knnMatch's second neighbor includes
+    # ties) so exact-tie ambiguous matches are rejected by the gate
+    tie = jnp.sum(d == d1[:, None], axis=1) > 1
+    gap = jnp.where(tie | ~jnp.isfinite(d2), 0.0, d2 - d1)
     gap_th = masked_stdv_mad_nozero(gap, m.valid) * tr.desc_th_l
     ok = m.valid & (gap > gap_th)
 

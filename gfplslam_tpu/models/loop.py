@@ -87,11 +87,13 @@ class LoopState(NamedTuple):
     pt_p3d: jax.Array     # [K, N_KF_PT, 3] camera-frame 3D points
     pt_uv: jax.Array      # [K, N_KF_PT, 2]
     pt_desc: jax.Array    # [K, N_KF_PT, 8] uint32
+    pt_sigma2: jax.Array  # [K, N_KF_PT] per-octave sigma^2 weights
     pt_valid: jax.Array   # [K, N_KF_PT]
     ln_sp3d: jax.Array    # [K, N_KF_LN, 3]
     ln_ep3d: jax.Array    # [K, N_KF_LN, 3]
     ln_le: jax.Array      # [K, N_KF_LN, 3]
     ln_desc: jax.Array    # [K, N_KF_LN, 8]
+    ln_sigma2: jax.Array  # [K, N_KF_LN]
     ln_valid: jax.Array   # [K, N_KF_LN]
 
 
@@ -107,10 +109,12 @@ def empty_loop_state(cfg: Config) -> LoopState:
         conf=jnp.zeros((k, k)),
         pt_p3d=jnp.zeros((k, N_KF_PT, 3)), pt_uv=jnp.zeros((k, N_KF_PT, 2)),
         pt_desc=jnp.zeros((k, N_KF_PT, 8), jnp.uint32),
+        pt_sigma2=jnp.ones((k, N_KF_PT)),
         pt_valid=jnp.zeros((k, N_KF_PT), bool),
         ln_sp3d=jnp.zeros((k, N_KF_LN, 3)), ln_ep3d=jnp.zeros((k, N_KF_LN, 3)),
         ln_le=jnp.zeros((k, N_KF_LN, 3)),
         ln_desc=jnp.zeros((k, N_KF_LN, 8), jnp.uint32),
+        ln_sigma2=jnp.ones((k, N_KF_LN)),
         ln_valid=jnp.zeros((k, N_KF_LN), bool))
 
 
@@ -188,9 +192,11 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     conf = ls.conf.at[kf_idx, :].set(row)
     conf = conf.at[:, kf_idx].set(row)
 
-    ok_p, p3, uv, dp = _topk_snapshot(f.valid, N_KF_PT, f.p3d, f.xy, f.desc)
-    ok_l, s3, e3, le, dl = _topk_snapshot(fl.valid, N_KF_LN, fl.sp3d, fl.ep3d,
-                                          fl.le, fl.desc)
+    ok_p, p3, uv, dp, s2p = _topk_snapshot(f.valid, N_KF_PT, f.p3d, f.xy,
+                                           f.desc, f.sigma2)
+    ok_l, s3, e3, le, dl, s2l = _topk_snapshot(fl.valid, N_KF_LN, fl.sp3d,
+                                               fl.ep3d, fl.le, fl.desc,
+                                               fl.sigma2)
     return ls._replace(
         bow_p=ls.bow_p.at[kf_idx].set(bow_p),
         bow_l=ls.bow_l.at[kf_idx].set(bow_l),
@@ -203,11 +209,13 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
         pt_p3d=ls.pt_p3d.at[kf_idx].set(p3),
         pt_uv=ls.pt_uv.at[kf_idx].set(uv),
         pt_desc=ls.pt_desc.at[kf_idx].set(dp),
+        pt_sigma2=ls.pt_sigma2.at[kf_idx].set(s2p),
         pt_valid=ls.pt_valid.at[kf_idx].set(ok_p),
         ln_sp3d=ls.ln_sp3d.at[kf_idx].set(s3),
         ln_ep3d=ls.ln_ep3d.at[kf_idx].set(e3),
         ln_le=ls.ln_le.at[kf_idx].set(le),
         ln_desc=ls.ln_desc.at[kf_idx].set(dl),
+        ln_sigma2=ls.ln_sigma2.at[kf_idx].set(s2l),
         ln_valid=ls.ln_valid.at[kf_idx].set(ok_l))
 
 
@@ -260,14 +268,14 @@ def verify_loop(cfg: Config, ls: LoopState, kf_prev: jax.Array,
     mp = match_ops.mutual_best(dp)
     pts = pose_opt.PointMatches(
         p3d=ls.pt_p3d[kf_prev], obs=ls.pt_uv[kf_curr][mp.idx],
-        sigma2=jnp.ones(N_KF_PT), valid=mp.valid)
+        sigma2=ls.pt_sigma2[kf_prev], valid=mp.valid)
     dl = hamming_matrix(ls.ln_desc[kf_prev], ls.ln_desc[kf_curr],
                         ls.ln_valid[kf_prev], ls.ln_valid[kf_curr])
     ml = match_ops.mutual_best(dl)
     lns = pose_opt.LineMatches(
         sp3d=ls.ln_sp3d[kf_prev], ep3d=ls.ln_ep3d[kf_prev],
         le_obs=ls.ln_le[kf_curr][ml.idx],
-        sigma2=jnp.ones(N_KF_LN), valid=ml.valid)
+        sigma2=ls.ln_sigma2[kf_prev], valid=ml.valid)
 
     res = pose_opt.optimize_pose(cfg.camera, jnp.eye(4), pts, lns,
                                  cfg.optimizer, delta_t=1e9)
@@ -306,9 +314,18 @@ def build_edges(kf_pose: jax.Array, kf_valid: jax.Array,
                 max_edges: int) -> PoseGraphEdges:
     """Sequential + covisibility + loop edges (:4029-4066). Measurements for
     sequential/covis edges are taken from current estimates (the reference
-    does the same before correction)."""
+    does the same before correction).
+
+    ``lc_i/lc_j`` [C] and ``lc_t`` [C, 4, 4] carry one or more verified loop
+    constraints (the reference accumulates lc_idx_list/lc_pose_list while
+    LC_ACTIVE and adds an edge per constraint, :4052-4066).
+    """
     k = kf_pose.shape[0]
     ids = jnp.arange(k)
+    lc_i = jnp.atleast_1d(lc_i)
+    lc_j = jnp.atleast_1d(lc_j)
+    lc_t = lc_t.reshape(-1, 4, 4)
+    n_lc = lc_i.shape[0]
     # sequential edges: each valid KF to the PREVIOUS valid KF (chains across
     # holes left by remove_redundant_kfs)
     vid = jnp.where(kf_valid, ids, -1)
@@ -318,26 +335,27 @@ def build_edges(kf_pose: jax.Array, kf_valid: jax.Array,
     seq_i = jnp.where(seq_ok, prev, 0)[1:]
     seq_j = ids[1:]
     seq_ok = seq_ok[1:]
-    # covisibility edges above threshold (upper triangle)
-    cov = (full_graph + full_graph.T) >= min_covis
+    # covisibility edges above threshold (upper triangle), strongest first
+    counts = full_graph + full_graph.T
     iu, ju = jnp.triu_indices(k, 1)
-    cov_ok = cov[iu, ju] & kf_valid[iu] & kf_valid[ju] & (ju != iu + 1)
-    # take top max_edges-(k) covis edges
-    budget = max_edges - (k - 1) - 1
-    sel = jax.lax.top_k(jnp.where(cov_ok, 1, 0) * (iu * k + ju + 1), budget)[0]
-    sel_ok = sel > 0
-    sel_flat = jnp.where(sel_ok, sel - 1, 0)
-    cov_i = sel_flat // k
-    cov_j = sel_flat % k
+    cov_ok = ((counts[iu, ju] >= min_covis) & kf_valid[iu] & kf_valid[ju]
+              & (ju != iu + 1))
+    # keep the strongest-covisibility edges within the budget
+    budget = max_edges - (k - 1) - n_lc
+    vals, sel_pos = jax.lax.top_k(
+        jnp.where(cov_ok, counts[iu, ju], -1), budget)
+    sel_ok = vals >= min_covis
+    cov_i = iu[sel_pos]
+    cov_j = ju[sel_pos]
 
-    e_i = jnp.concatenate([seq_i, cov_i, lc_i[None]])
-    e_j = jnp.concatenate([seq_j, cov_j, lc_j[None]])
-    e_ok = jnp.concatenate([seq_ok, sel_ok, jnp.asarray([True])])
+    e_i = jnp.concatenate([seq_i, cov_i, lc_i])
+    e_j = jnp.concatenate([seq_j, cov_j, lc_j])
+    e_ok = jnp.concatenate([seq_ok, sel_ok, jnp.ones(n_lc, bool)])
 
     t_inv = jax.vmap(se3.inverse_se3)(kf_pose)
     t_ij = jax.vmap(lambda a, b: t_inv[a] @ kf_pose[b])(e_i, e_j)
-    # overwrite the LC edge with the verified measurement
-    t_ij = t_ij.at[-1].set(lc_t)
+    # overwrite the LC edges with the verified measurements
+    t_ij = t_ij.at[-n_lc:].set(lc_t)
     return PoseGraphEdges(i=e_i, j=e_j, t_ij=t_ij, valid=e_ok)
 
 

@@ -34,6 +34,7 @@ from gfplslam_tpu.ops import matching as match_ops
 from gfplslam_tpu.utils import se3
 
 CHI2_2DOF = 7.815  # 95% gate used throughout the reference (:265, :403)
+DESC_HIST = 4      # recent observations kept per landmark for the medoid
 
 
 class MapState(NamedTuple):
@@ -43,7 +44,8 @@ class MapState(NamedTuple):
     n_kf: jax.Array         # int32
     # point landmarks (MapPoint, mapFeatures.h:40-70)
     pt_pos: jax.Array       # [P, 3] world
-    pt_desc: jax.Array      # [P, 8] uint32 representative descriptor
+    pt_desc: jax.Array      # [P, 8] uint32 representative (medoid) descriptor
+    pt_desc_hist: jax.Array  # [P, DESC_HIST, 8] uint32 recent-obs ring
     pt_obs_n: jax.Array     # [P] int32 observation count
     pt_last_kf: jax.Array   # [P] int32 last observing KF
     pt_valid: jax.Array     # [P] bool
@@ -51,6 +53,7 @@ class MapState(NamedTuple):
     ln_sp: jax.Array        # [L, 3]
     ln_ep: jax.Array        # [L, 3]
     ln_desc: jax.Array      # [L, 8] uint32
+    ln_desc_hist: jax.Array  # [L, DESC_HIST, 8] uint32
     ln_obs_n: jax.Array     # [L]
     ln_last_kf: jax.Array   # [L]
     ln_valid: jax.Array     # [L] bool
@@ -79,10 +82,12 @@ def empty_map(cfg: Config) -> MapState:
         kf_pose=jnp.tile(jnp.eye(4)[None], (k, 1, 1)),
         kf_valid=jnp.zeros(k, bool), n_kf=jnp.asarray(0, jnp.int32),
         pt_pos=jnp.zeros((p, 3)), pt_desc=jnp.zeros((p, 8), jnp.uint32),
+        pt_desc_hist=jnp.zeros((p, DESC_HIST, 8), jnp.uint32),
         pt_obs_n=jnp.zeros(p, jnp.int32), pt_last_kf=jnp.zeros(p, jnp.int32),
         pt_valid=jnp.zeros(p, bool),
         ln_sp=jnp.zeros((l, 3)), ln_ep=jnp.zeros((l, 3)),
         ln_desc=jnp.zeros((l, 8), jnp.uint32),
+        ln_desc_hist=jnp.zeros((l, DESC_HIST, 8), jnp.uint32),
         ln_obs_n=jnp.zeros(l, jnp.int32), ln_last_kf=jnp.zeros(l, jnp.int32),
         ln_valid=jnp.zeros(l, bool),
         po_kf=jnp.zeros(op, jnp.int32), po_lm=jnp.zeros(op, jnp.int32),
@@ -93,6 +98,39 @@ def empty_map(cfg: Config) -> MapState:
         lo_valid=jnp.zeros(ol, bool), lo_head=jnp.asarray(0, jnp.int32),
         full_graph=jnp.zeros((k, k), jnp.int32),
     )
+
+
+def _update_desc_medoid(hist, rep, obs_n, lm_safe, obs_mask, new_desc):
+    """Representative-descriptor refresh via a DESC_HIST-deep ring of recent
+    observations + medoid selection (total-Hamming-distance minimizer over
+    the buffer). Approximates the reference's median-distance medoid over
+    the full obs list (updateAverageDescDir, mapFeatures.cpp:50-107) at O(1)
+    memory per landmark; unlike a newest-wins update, one blurred/occluded
+    observation cannot poison the landmark's descriptor.
+
+    ``obs_n`` must be the PRE-update observation count; ``lm_safe`` the
+    in-range landmark id per feature; ``obs_mask`` which features observed a
+    landmark this KF. Returns (hist, rep) updated."""
+    p = hist.shape[0]
+    b = hist.shape[1]
+    cnt = obs_n[lm_safe]                      # [N] obs before this one
+    pos = cnt % b
+    dst = jnp.where(obs_mask, lm_safe * b + pos, p * b)
+    hist = hist.reshape(p * b, -1).at[dst].set(new_desc, mode="drop")
+    hist = hist.reshape(p, b, -1)
+
+    buf = hist[lm_safe]                       # [N, B, 8]
+    occ = jnp.minimum(cnt + 1, b)             # occupied slots 0..occ-1
+    slot_ok = jnp.arange(b)[None, :] < occ[:, None]          # [N, B]
+    x = jnp.bitwise_xor(buf[:, :, None, :], buf[:, None, :, :])
+    dist = jnp.sum(jax.lax.population_count(x), axis=-1)      # [N, B, B]
+    sumd = jnp.sum(jnp.where(slot_ok[:, None, :], dist, 0), axis=2)
+    score = jnp.where(slot_ok, sumd, jnp.iinfo(jnp.int32).max)
+    sel = jnp.argmin(score, axis=1)                           # [N]
+    medoid = jnp.take_along_axis(buf, sel[:, None, None].astype(jnp.int32)
+                                 .repeat(buf.shape[-1], -1), axis=1)[:, 0]
+    rep = rep.at[jnp.where(obs_mask, lm_safe, p)].set(medoid, mode="drop")
+    return hist, rep
 
 
 def _alloc_slots(free_mask: jax.Array, want: jax.Array) -> jax.Array:
@@ -253,7 +291,12 @@ def _insert_kf(cfg: Config, m: MapState, frame: StereoFrame,
         pt_pos=m.pt_pos.at[jnp.where(created_pt, slot_pt, m.pt_pos.shape[0])
                            ].set(pt_world, mode="drop"),
         pt_desc=m.pt_desc.at[jnp.where(created_pt, slot_pt, m.pt_pos.shape[0])
-                             ].set(f.desc, mode="drop"))
+                             ].set(f.desc, mode="drop"),
+        # reused pool slots must not inherit a culled landmark's obs count
+        # (it seeds the descriptor-history ring position)
+        pt_obs_n=m.pt_obs_n.at[jnp.where(created_pt, slot_pt,
+                                         m.pt_pos.shape[0])
+                               ].set(0, mode="drop"))
     new_ln = fl.valid & (ln_lm_idx < 0)
     slot_ln = _alloc_slots(~m.ln_valid, new_ln)
     created_ln = slot_ln >= 0
@@ -264,7 +307,9 @@ def _insert_kf(cfg: Config, m: MapState, frame: StereoFrame,
         ln_ep=m.ln_ep.at[jnp.where(created_ln, slot_ln, drop_l)].set(
             ln_ep_w, mode="drop"),
         ln_desc=m.ln_desc.at[jnp.where(created_ln, slot_ln, drop_l)].set(
-            fl.desc, mode="drop"))
+            fl.desc, mode="drop"),
+        ln_obs_n=m.ln_obs_n.at[jnp.where(created_ln, slot_ln, drop_l)].set(
+            0, mode="drop"))
 
     # landmark id per feature after creation
     pt_lm = jnp.where(created_pt, slot_pt, pt_lm_idx)
@@ -299,19 +344,14 @@ def _insert_kf(cfg: Config, m: MapState, frame: StereoFrame,
                    lo_kf=lo[0], lo_lm=lo[1], lo_le=lo[2], lo_sigma2=lo[3],
                    lo_valid=lo[4], lo_head=lo[5])
 
-    # --- representative descriptor refresh: matched landmarks take the
-    # newest observation's descriptor (recency medoid; the reference's
-    # median-distance update, mapFeatures.cpp:50-107, needs per-landmark
-    # all-pairs distances — the streaming update tracks appearance drift
-    # at O(1) and feeds the same matching paths) ---
-    upd_pt = obs_pt & (pt_lm_idx >= 0)
-    m = m._replace(
-        pt_desc=m.pt_desc.at[
-            jnp.where(upd_pt, pt_lm_safe, m.pt_pos.shape[0])
-        ].set(f.desc, mode="drop"),
-        ln_desc=m.ln_desc.at[
-            jnp.where(obs_ln & (ln_lm_idx >= 0), ln_lm_safe, drop_l)
-        ].set(fl.desc, mode="drop"))
+    # --- representative descriptor refresh: ring-buffered medoid over the
+    # last DESC_HIST observations (see _update_desc_medoid) ---
+    pt_hist, pt_desc = _update_desc_medoid(
+        m.pt_desc_hist, m.pt_desc, m.pt_obs_n, pt_lm_safe, obs_pt, f.desc)
+    ln_hist, ln_desc = _update_desc_medoid(
+        m.ln_desc_hist, m.ln_desc, m.ln_obs_n, ln_lm_safe, obs_ln, fl.desc)
+    m = m._replace(pt_desc_hist=pt_hist, pt_desc=pt_desc,
+                   ln_desc_hist=ln_hist, ln_desc=ln_desc)
 
     # --- landmark stats + validity ---
     m = m._replace(
@@ -361,7 +401,12 @@ def remove_redundant_kfs(cfg: Config, m: MapState) -> tuple[MapState, jax.Array]
     least 4 observations (i.e. seen by >= 3 other KFs). Its observations are
     invalidated, landmark obs counts decremented, and its covisibility
     row/col cleared; kf_valid marks the hole (pose-graph sequential edges
-    chain across holes). Returns (map, n_removed)."""
+    chain across holes). At most ONE keyframe — the most redundant — is
+    culled per invocation so each decision sees post-cull observation
+    counts (mutually-redundant KFs would otherwise all pass the >=3-other-
+    observers test simultaneously and strip their shared landmarks); the
+    function runs once per KF insertion, so the cull keeps pace with map
+    growth. Returns (map, n_removed in {0, 1})."""
     k = m.kf_pose.shape[0]
     ids = jnp.arange(k)
     cur = m.n_kf - 1
@@ -373,9 +418,12 @@ def remove_redundant_kfs(cfg: Config, m: MapState) -> tuple[MapState, jax.Array]
     per_kf_red = (jnp.zeros(k).at[m.po_kf].add(redundant_p * 1.0)
                   .at[m.lo_kf].add(redundant_l * 1.0))
     frac = per_kf_red / jnp.maximum(per_kf_total, 1.0)
-    candidate = (m.kf_valid & (ids > 0)
-                 & (ids < cur - cfg.slam.min_kf_local_map)
-                 & (frac >= cfg.slam.max_common_fts_kf))
+    eligible = (m.kf_valid & (ids > 0)
+                & (ids < cur - cfg.slam.min_kf_local_map)
+                & (frac >= cfg.slam.max_common_fts_kf))
+    # single most-redundant KF only (see docstring)
+    best = jnp.argmax(jnp.where(eligible, frac, -1.0))
+    candidate = eligible & (ids == best)
 
     drop_obs_p = m.po_valid & candidate[m.po_kf]
     drop_obs_l = m.lo_valid & candidate[m.lo_kf]
@@ -407,19 +455,23 @@ def _fuse_pool(desc, pos, valid, last_kf, obs_n, obs_lm, obs_kf, obs_valid,
     partner (obs redirection + stats concat — the reference's "fuse-two"
     case; its one-sided cases are subsumed because every feature here is
     already a landmark). Returns (remap [P], keep_valid [P], occA, occB
-    [N_FUSE, K] fused-pair KF occupancy for covisibility increments,
-    merged_mask [N_FUSE])."""
+    [n, K] fused-pair KF occupancy for covisibility increments, merged_mask
+    [n]) with n = min(N_FUSE, P)."""
     p = desc.shape[0]
+    n = min(N_FUSE, p)
     ids = jnp.arange(p)
     side_a = valid & (last_kf >= kf_prev - near) & (last_kf <= kf_prev + near)
     side_b = valid & (last_kf >= kf_curr - near) & ~side_a
-    # compact each side to N_FUSE slots by recency
-    key_a = jnp.where(side_a, last_kf, -1)
-    key_b = jnp.where(side_b, last_kf, -1)
-    a_ids = jax.lax.top_k(jnp.where(key_a >= 0, ids, -1), min(N_FUSE, p))[0]
-    b_ids = jax.lax.top_k(jnp.where(key_b >= 0, ids, -1), min(N_FUSE, p))[0]
-    a_ok = a_ids >= 0
-    b_ok = b_ids >= 0
+    # compact each side to n slots by recency (most recent last_kf first;
+    # landmark id breaks ties so the packed key stays unique)
+    key_a = jnp.where(side_a, last_kf * p + ids, -1)
+    key_b = jnp.where(side_b, last_kf * p + ids, -1)
+    a_key = jax.lax.top_k(key_a, n)[0]
+    b_key = jax.lax.top_k(key_b, n)[0]
+    a_ok = a_key >= 0
+    b_ok = b_key >= 0
+    a_ids = jnp.where(a_ok, a_key % p, -1)
+    b_ids = jnp.where(b_ok, b_key % p, -1)
     a_safe = jnp.where(a_ok, a_ids, 0)
     b_safe = jnp.where(b_ok, b_ids, 0)
 
@@ -451,19 +503,19 @@ def _fuse_pool(desc, pos, valid, last_kf, obs_n, obs_lm, obs_kf, obs_valid,
 
     # fused-pair KF occupancy for covisibility increments (:4478-4545): which
     # KFs observe the kept / dropped landmark, via the flat obs table
-    inv_keep = jnp.full(p + 1, N_FUSE, jnp.int32).at[keep_slot].set(
-        jnp.arange(N_FUSE, dtype=jnp.int32), mode="drop")
-    inv_drop = jnp.full(p + 1, N_FUSE, jnp.int32).at[drop_slot].set(
-        jnp.arange(N_FUSE, dtype=jnp.int32), mode="drop")
-    row_a = jnp.where(obs_valid, inv_keep[obs_lm], N_FUSE)
-    row_b = jnp.where(obs_valid, inv_drop[obs_lm], N_FUSE)
+    inv_keep = jnp.full(p + 1, n, jnp.int32).at[keep_slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    inv_drop = jnp.full(p + 1, n, jnp.int32).at[drop_slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    row_a = jnp.where(obs_valid, inv_keep[obs_lm], n)
+    row_b = jnp.where(obs_valid, inv_drop[obs_lm], n)
     k = n_kf_total
-    occ_a = jnp.zeros(N_FUSE * k, jnp.float32).at[
-        jnp.where(row_a < N_FUSE, row_a * k + obs_kf, N_FUSE * k)
-    ].max(1.0, mode="drop").reshape(N_FUSE, k)
-    occ_b = jnp.zeros(N_FUSE * k, jnp.float32).at[
-        jnp.where(row_b < N_FUSE, row_b * k + obs_kf, N_FUSE * k)
-    ].max(1.0, mode="drop").reshape(N_FUSE, k)
+    occ_a = jnp.zeros(n * k, jnp.float32).at[
+        jnp.where(row_a < n, row_a * k + obs_kf, n * k)
+    ].max(1.0, mode="drop").reshape(n, k)
+    occ_b = jnp.zeros(n * k, jnp.float32).at[
+        jnp.where(row_b < n, row_b * k + obs_kf, n * k)
+    ].max(1.0, mode="drop").reshape(n, k)
     return remap, keep_valid, obs_n, last_kf, occ_a, occ_b, merged
 
 

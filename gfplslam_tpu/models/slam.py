@@ -12,7 +12,6 @@ numeric work stays in jitted device programs.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -39,7 +38,10 @@ class SLAMSystem:
     map: map_ops.MapState = None
     loop_state: loop_ops.LoopState = None
     lc_status: int = LC_IDLE
-    lc_pending: Optional[tuple] = None  # (kf_prev, kf_curr, t_rel)
+    # verified constraints accumulated while LC_ACTIVE: [(kf_prev, kf_curr,
+    # t_rel), ...] — flushed as pose-graph edges when the revisit ends
+    # (lc_idx_list/lc_pose_list, mapHandler.cpp:2820-2834)
+    lc_pending: list = field(default_factory=list)
     lc_consecutive: int = 0
     n_loop_closures: int = 0
     n_fused_landmarks: int = 0
@@ -58,8 +60,6 @@ class SLAMSystem:
     def process(self, img_l: np.ndarray, img_r: np.ndarray,
                 timestamp: float):
         """One stereo frame through the full system."""
-        prev_rel = (np.asarray(self.vo.state.t_cam_w)
-                    if self.vo.state is not None else np.eye(4))
         rec = self.vo.process(img_l, img_r, timestamp)
         frame = self.vo.prev_frame  # the frame just processed
 
@@ -68,11 +68,10 @@ class SLAMSystem:
             if kf_idx == 0:
                 self.map = map_ops.initialize_map(self.cfg, self.map, frame)
             else:
-                # relative pose of this KF wrt the previous KF: the tracker
-                # accumulated t_cam_w since the last KF reset; after the KF
-                # decision vo already re-based, so recompute from records
-                t_rel = np.linalg.inv(
-                    self.kf_pose_world(kf_idx - 1)) @ rec.t_cam_w
+                # VO relative motion KF_{k-1} -> KF_k only; the map composes
+                # it onto the *optimized* previous KF pose
+                # (T_kf_w = T_prev_w * T_rel, mapHandler.cpp:126-128)
+                t_rel = self.vo.last_kf_rel
                 self.map, _ = map_ops.add_keyframe(
                     self.cfg, self.map, frame, jnp.asarray(
                         t_rel.astype(np.float32)))
@@ -88,6 +87,9 @@ class SLAMSystem:
             self.kf_timestamps.append(timestamp)
             if self.run_loop_closure and kf_idx > 0:
                 self._loop_closure_step(kf_idx)
+            # feed the corrected map pose back to the tracker so subsequent
+            # frames (and the all-frame trajectory) ride the optimized map
+            self.vo.rebase(self.kf_pose_world(kf_idx))
         return rec
 
     # ------------------------------------------------------------------
@@ -106,40 +108,45 @@ class SLAMSystem:
 
     def _loop_closure_step(self, kf_curr: int):
         """lookForLoopCandidates -> isLoopClosure -> state machine
-        (loopClosure, mapHandler.cpp:2801-2868)."""
+        (loopClosure, mapHandler.cpp:2801-2861): verified constraints
+        accumulate while the revisit lasts (LC_ACTIVE); when the candidate
+        stream dries up or fails verification, the machine goes LC_READY and
+        the accumulated constraints are solved in one pose-graph pass."""
         cand = int(loop_ops.look_for_loop_candidates(
             self.cfg, self.loop_state, self.map.full_graph,
             jnp.asarray(kf_curr)))
-        if cand < 0:
-            if self.lc_status == LC_ACTIVE:
-                self.lc_consecutive = 0
-                self.lc_status = LC_IDLE
-            return
-        ver = loop_ops.verify_loop(self.cfg, self.loop_state,
-                                   jnp.asarray(cand), jnp.asarray(kf_curr))
-        if not bool(ver.accepted):
-            return
-        self.lc_consecutive += 1
-        self.lc_pending = (cand, kf_curr, np.asarray(ver.t_rel))
-        if self.lc_status == LC_IDLE:
-            self.lc_status = LC_ACTIVE
-        # close as soon as verified (the reference defers via LC_READY; one
-        # consistent verification suffices given the 5 geometric gates)
-        self._close_loop()
+        verified = False
+        if cand >= 0:
+            ver = loop_ops.verify_loop(self.cfg, self.loop_state,
+                                       jnp.asarray(cand),
+                                       jnp.asarray(kf_curr))
+            if bool(ver.accepted):
+                verified = True
+                self.lc_consecutive += 1
+                self.lc_pending.append((cand, kf_curr, np.asarray(ver.t_rel)))
+                self.lc_status = LC_ACTIVE
+        if not verified and self.lc_status == LC_ACTIVE:
+            # the car has passed the already-visited street: close now
+            # (LC_ACTIVE -> LC_READY -> optimize, mapHandler.cpp:2840-2861)
+            self.lc_status = LC_READY
+            self._close_loop()
 
     def _close_loop(self):
-        if self.lc_pending is None:
+        if not self.lc_pending:
             return
-        kf_prev, kf_curr, t_rel = self.lc_pending
         m = self.map
-        # LC edge measurement: T_prev^-1 T_curr = inverse of verified
+        # LC edge measurements: T_prev^-1 T_curr = inverse of each verified
         # T_curr<-prev mapped into pose-graph convention
-        t_rel_inv = np.linalg.inv(t_rel)
+        lc_i = jnp.asarray([p[0] for p in self.lc_pending], jnp.int32)
+        lc_j = jnp.asarray([p[1] for p in self.lc_pending], jnp.int32)
+        lc_t = jnp.asarray(np.stack(
+            [np.linalg.inv(p[2]).astype(np.float32)
+             for p in self.lc_pending]))
+        kf_prev, kf_curr, _ = self.lc_pending[0]
         edges = loop_ops.build_edges(
             m.kf_pose, m.kf_valid, m.full_graph,
             self.cfg.slam.min_lm_ess_graph,
-            jnp.asarray(kf_prev), jnp.asarray(kf_curr),
-            jnp.asarray(t_rel_inv.astype(np.float32)),
+            lc_i, lc_j, lc_t,
             max_edges=int(m.kf_pose.shape[0] * 4))
         fixed = jnp.zeros(m.kf_pose.shape[0], bool).at[0].set(True)
         fixed = fixed.at[kf_prev].set(True)
@@ -160,16 +167,18 @@ class SLAMSystem:
             self.cfg, self.map, jnp.asarray(kf_prev), jnp.asarray(kf_curr))
         self.n_fused_landmarks += int(n_fused)
         self.n_loop_closures += 1
-        self.lc_pending = None
+        self.lc_pending = []
         self.lc_status = LC_IDLE
         self.lc_consecutive = 0
+        # tracker rides the corrected trajectory from here on
+        self.vo.rebase(self.kf_pose_world(int(self.map.n_kf) - 1))
 
     # ------------------------------------------------------------------
     def finish(self, run_global_ba: bool = False):
         """Flush a pending loop closure (finishSLAM, mapHandler.cpp:96-111);
         optionally refine everything with a global BA pass
         (globalBundleAdjustment, mapHandler.cpp:1844-1948)."""
-        if self.lc_pending is not None:
+        if self.lc_pending:
             self._close_loop()
         if run_global_ba and int(self.map.n_kf) >= 2:
             window = min(int(self.map.kf_pose.shape[0]), 64)
@@ -200,5 +209,23 @@ class SLAMSystem:
 
     @property
     def keyframe_trajectory(self) -> np.ndarray:
+        """Optimized map KF poses — the reference writes its KF trajectory
+        from these after BA/PGO (plslam_mod.cpp:538-566)."""
         n = int(self.map.n_kf)
         return np.asarray(self.map.kf_pose[:n])
+
+    @property
+    def all_frame_trajectory(self) -> np.ndarray:
+        """Every frame re-based onto its base KF's *optimized* pose:
+        T_frame = T_kf(map) @ T_rel(vo). Frames between KFs inherit the
+        map correction of their base keyframe."""
+        kf_pose = np.asarray(self.map.kf_pose)
+        n_kf = int(self.map.n_kf)
+        out = []
+        for r in self.vo.records:
+            k = min(r.base_kf, n_kf - 1) if n_kf > 0 else 0
+            if r.t_rel_base is None or n_kf == 0:
+                out.append(r.t_cam_w)
+            else:
+                out.append(kf_pose[k] @ r.t_rel_base)
+        return np.stack(out)

@@ -117,11 +117,14 @@ def cross_frame_matching(cfg: Config, prev: StereoFrame, curr: StereoFrame,
     lm = match_ops.mutual_best(dl)
     dl1 = jnp.min(dl, axis=1)
     dl2 = jnp.min(jnp.where(dl <= dl1[:, None], jnp.inf, dl), axis=1)
-    gap = jnp.where(jnp.isfinite(dl2), dl2 - dl1, 0.0)
+    # exact-tie minima give gap 0 (knnMatch's dist_12 includes ties,
+    # stereoFrame.cpp:681) so ambiguous matches fail the distinctiveness gate
+    tie = jnp.sum(dl == dl1[:, None], axis=1) > 1
+    gap = jnp.where(tie | ~jnp.isfinite(dl2), 0.0, dl2 - dl1)
     gap_th = masked_stdv_mad_nozero(gap, lm.valid) * tr.desc_th_l
     lm = lm._replace(valid=lm.valid & (gap > gap_th))
-    # budget-distance threshold: keep dist <= 1.2 * (K-th best distance)
-    # (lineDescriptorBudgetThres + gate at :654-656)
+    # budget-distance threshold (keep dist <= 1.2 * K-th best) + hard cap
+    # (lineDescriptorBudgetThres + gate at :654-659, :678-683)
     lm = match_ops.budget_gate(lm, stvo.max_line_match_num)
     lns = pose_opt.LineMatches(
         sp3d=lp.sp3d, ep3d=lp.ep3d, le_obs=lc.le[lm.idx],

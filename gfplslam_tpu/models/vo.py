@@ -77,6 +77,12 @@ class FrameRecord:
     n_pt: int
     n_ln: int
     accepted: bool
+    # pose relative to the base keyframe, and which KF that is — these let
+    # the SLAM layer re-express every frame on the *optimized* map KF poses
+    # (the reference writes trajectories from T_base_kf * DT, see
+    # plslam_mod.cpp:471-493 + mapHandler KF poses)
+    base_kf: int = 0
+    t_rel_base: np.ndarray = None
 
 
 @dataclass
@@ -90,6 +96,19 @@ class VisualOdometry:
     timelog: TimeLogWriter = field(default_factory=TimeLogWriter)
     frame_idx: int = 0
     lost: bool = False
+    kf_count: int = 0
+    # VO-only relative motion KF_{k-1} -> KF_k captured at the latest KF
+    # decision (the reference's T_rel handed to MapHandler::addKeyFrame,
+    # mapHandler.cpp:126-128 — pure odometry, independent of any map
+    # correction)
+    last_kf_rel: Optional[np.ndarray] = None
+
+    def rebase(self, t_base_w: np.ndarray) -> None:
+        """Re-base the tracker's absolute frame onto a corrected base-KF pose
+        (the back-end feeds BA/PGO corrections forward so subsequent frames
+        ride the optimized map, mirroring the reference's use of the map KF
+        pose as T_base in updateFrame_ECCV18, plslam_mod.cpp:471-477)."""
+        self.t_base_w = np.asarray(t_base_w, np.float64).copy()
 
     def process(self, img_l: np.ndarray, img_r: np.ndarray,
                 timestamp: float) -> FrameRecord:
@@ -110,8 +129,11 @@ class VisualOdometry:
             # frame 0: initialize (StVO->initialize, plslam_mod.cpp:375-381)
             self.prev_frame = frame
             self.prev_time = timestamp
+            self.kf_count = 1
+            self.last_kf_rel = np.eye(4)
             rec = FrameRecord(timestamp, self.t_base_w.copy(), True,
-                              log.num_pt_stereo, log.num_ln_stereo, True)
+                              log.num_pt_stereo, log.num_ln_stereo, True,
+                              base_kf=0, t_rel_base=np.eye(4))
             self.records.append(rec)
             self.timelog.append(log)
             self.frame_idx += 1
@@ -128,21 +150,30 @@ class VisualOdometry:
 
         self.state = out.state
         need_kf = bool(out.need_kf)
+        t_rel = np.asarray(out.state.t_cam_w)
         if need_kf:
             # absolute pose base moves to this KF (updateFrame_ECCV18 +
-            # currFrameIsKF composition)
-            self.t_base_w = self.t_base_w @ np.asarray(out.state.t_cam_w)
+            # currFrameIsKF composition); keep the raw VO relative motion
+            # for the map layer's pose composition
+            self.last_kf_rel = t_rel.copy()
+            self.t_base_w = self.t_base_w @ t_rel
             self.state = trk.mark_keyframe(out.state)
             t_abs = self.t_base_w.copy()
+            base_kf = self.kf_count
+            t_rel_base = np.eye(4)
+            self.kf_count += 1
         else:
-            t_abs = self.t_base_w @ np.asarray(out.state.t_cam_w)
+            t_abs = self.t_base_w @ t_rel
+            base_kf = self.kf_count - 1
+            t_rel_base = t_rel
         self.lost = self.lost or bool(out.track_lost)
 
         self.prev_frame = frame
         self.prev_time = timestamp
         rec = FrameRecord(timestamp, t_abs, need_kf,
                           int(out.n_inliers_pt), int(out.n_inliers_ln),
-                          bool(out.pose.accepted))
+                          bool(out.pose.accepted),
+                          base_kf=base_kf, t_rel_base=t_rel_base)
         self.records.append(rec)
         self.timelog.append(log)
         self.frame_idx += 1

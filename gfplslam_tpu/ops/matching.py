@@ -62,12 +62,18 @@ def mad_gate(m: Matches, rel_th: float) -> Matches:
 
 
 def budget_gate(m: Matches, budget: int) -> Matches:
-    """Keep only the ``budget`` best-distance matches
-    (max_point_match_num / max_line_match_num, config.cpp:94-95)."""
+    """Budget-distance threshold + hard cap
+    (max_point_match_num / max_line_match_num, config.cpp:94-95): the
+    reference derives a distance bound from the K-th best match and drops
+    anything above 1.2x that bound (budget_dist_th gate,
+    stereoFrameHandler.cpp:658-660), then hard-breaks at K matches
+    (:678-683). Here both apply on the distance-ranked set."""
     key = jnp.where(m.valid, m.dist, jnp.inf)
     order = jnp.argsort(key)
     rank = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
-    ok = m.valid & (rank < budget)
+    kth = key[order[min(budget, key.shape[0]) - 1]]
+    dist_ok = jnp.where(jnp.isfinite(kth), m.dist <= 1.2 * kth, True)
+    ok = m.valid & (rank < budget) & dist_ok
     return m._replace(valid=ok)
 
 
