@@ -89,7 +89,14 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=1)
     ap.add_argument("-o", "--out", default="/tmp/gfpl_batch")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed from env coordinator "
+                         "settings (sequence batches then shard over the "
+                         "global mesh)")
     args = ap.parse_args(argv)
+    if args.multihost:
+        from gfplslam_tpu.parallel.multihost import ensure_multihost
+        ensure_multihost()
     os.makedirs(args.out, exist_ok=True)
     if args.synthetic:
         if isinstance(args.sequences, list):

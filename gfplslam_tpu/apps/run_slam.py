@@ -40,7 +40,21 @@ def main(argv=None):
     ap.add_argument("--no-loop-closure", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="reduced capacities (fast CPU runs)")
+    ap.add_argument("--timing", action="store_true",
+                    help="per-module TimeLog mode: one device program per "
+                         "reference pipeline stage (all 10 time_* fields "
+                         "populated; costs fusion)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="dispatch per-KF BA/loop scoring without blocking "
+                         "tracking (decisions land at the next KF)")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed from env coordinator "
+                         "settings before touching devices")
     args = ap.parse_args(argv)
+
+    if args.multihost:
+        from gfplslam_tpu.parallel.multihost import ensure_multihost
+        ensure_multihost()
 
     from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
                                      OrbParams, StvoParams)
@@ -92,14 +106,20 @@ def main(argv=None):
     )
 
     # ---- engine ----
-    if args.vo_only:
+    if args.timing:
+        from gfplslam_tpu.models.timed_vo import TimedVO
+        vo = TimedVO(cfg)
+    else:
         from gfplslam_tpu.models.vo import VisualOdometry
-        engine = VisualOdometry(cfg)
+        vo = VisualOdometry(cfg)
+    if args.vo_only:
+        engine = vo
         process = engine.process
     else:
         from gfplslam_tpu.models.slam import SLAMSystem
-        engine = SLAMSystem(cfg,
-                            run_loop_closure=not args.no_loop_closure)
+        engine = SLAMSystem(cfg, vo=vo,
+                            run_loop_closure=not args.no_loop_closure,
+                            async_mapping=args.async_mapping)
         process = engine.process
 
     t0 = time.perf_counter()

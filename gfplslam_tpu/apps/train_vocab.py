@@ -58,6 +58,9 @@ def kmajority(desc: np.ndarray, k: int, iters: int = 10,
 
 
 def harvest_descriptors(args):
+    """Descriptors from several distinct synthetic worlds/motions — the
+    stand-in for the reference's multi-dataset training corpus
+    (voc_all_datasets_*, config.cpp:59-60)."""
     import jax.numpy as jnp
     from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
                                      OrbParams)
@@ -68,16 +71,19 @@ def harvest_descriptors(args):
         cap=CapacityParams(n_pt=256, n_ln=128), orb=OrbParams(nlevels=2),
         camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
                             cx=183.7, cy=126.1, baseline=0.11))
-    world = synthetic.make_world(n_frames=args.frames, seed=17)
+    worlds = [synthetic.make_world(n_frames=args.frames, seed=s,
+                                   motion=m, n_points=500, n_lines=60)
+              for s, m in ((17, "forward"), (41, "orbit"), (73, "loop"))]
     pt_desc, ln_desc = [], []
-    for i in range(args.frames):
-        il, ir = synthetic.render_frame(world, i)
-        f = process_stereo_pair(jnp.asarray(il), jnp.asarray(ir), cfg,
-                                jnp.asarray(20.0))
-        pv = np.asarray(f.points.valid)
-        lv = np.asarray(f.lines.valid)
-        pt_desc.append(np.asarray(f.points.desc)[pv])
-        ln_desc.append(np.asarray(f.lines.desc)[lv])
+    for world in worlds:
+        for i in range(0, args.frames, 2):
+            il, ir = synthetic.render_frame(world, i)
+            f = process_stereo_pair(jnp.asarray(il), jnp.asarray(ir), cfg,
+                                    jnp.asarray(20.0))
+            pv = np.asarray(f.points.valid)
+            lv = np.asarray(f.lines.valid)
+            pt_desc.append(np.asarray(f.points.desc)[pv])
+            ln_desc.append(np.asarray(f.lines.desc)[lv])
     return np.concatenate(pt_desc), np.concatenate(ln_desc)
 
 

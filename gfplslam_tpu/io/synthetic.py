@@ -62,6 +62,16 @@ def make_world(n_frames: int = 30, n_points: int = 600, n_lines: int = 60,
             x = 0.01 * np.sin(0.2 * t)
         elif motion == "still":
             z = yaw = x = 0.0
+        elif motion == "loop":
+            # closed circuit returning exactly to the start pose — the
+            # revisit world for loop-closure tests (the analog of the
+            # reference's EuRoC/KITTI looping batch runs,
+            # batch_script/Run_EuRoC.py): camera keeps facing +z so the
+            # same scene is visible at departure and return
+            phase = 2.0 * np.pi * t / max(n_frames - 1, 1)
+            x = 0.6 * np.sin(phase)
+            z = 0.45 * (1.0 - np.cos(phase))
+            yaw = 0.04 * np.sin(phase)
         else:  # orbit
             z = 0.03 * t
             yaw = 0.01 * t

@@ -89,16 +89,12 @@ def _per_level_slots(n_slots: int, nlevels: int, scale: float) -> list[int]:
     return [int(x) for x in raw]
 
 
-def detect_camera_features(img: jax.Array, cfg: Config,
-                           fast_th: jax.Array) -> CameraFeatures:
-    """Points (all pyramid levels) + lines for one camera image.
-
-    Replaces detectFeatures/detectPointFeatures/detectLineFeatures
-    (stereoFrame.cpp:1019-1227). All pyramid levels run as ONE vmapped
-    program over zero-padded same-shape levels (compile-size + batching win
-    over per-level inlining); the reference's point/line threads become
-    compiler-scheduled independent subgraphs.
-    """
+def detect_point_features(img: jax.Array, cfg: Config, fast_th: jax.Array):
+    """Pyramid + FAST + orientation + descriptors for one camera image
+    (detectPointFeatures -> ORBextractor, stereoFrame.cpp:1125-1153).
+    Returns (pt_xy, pt_level, pt_angle, pt_desc, pt_score, pt_valid). All
+    pyramid levels run as ONE vmapped program over zero-padded same-shape
+    levels (compile-size + batching win over per-level inlining)."""
     cap = cfg.cap
     orb_cfg = cfg.orb
     nlv = orb_cfg.nlevels
@@ -118,6 +114,9 @@ def detect_camera_features(img: jax.Array, cfg: Config,
             border=orb_cfg.edge_th, valid_h=vh_i, valid_w=vw_i)
         blur = gaussian_blur(lv_img)
         ang = orb_ops.ic_angles_dense(blur, kp.xy)
+        # gather-pool BRIEF: measured FASTER than the patch-extraction
+        # variant on TPU (the 39x39 block slices move 4x the bytes of the
+        # 375 random gathers; see orb.brief_descriptors_patch)
         desc = orb_ops.brief_descriptors(blur, kp.xy, ang)
         return kp, ang, desc
 
@@ -134,17 +133,44 @@ def detect_camera_features(img: jax.Array, cfg: Config,
 
     xy0 = flat(kps.xy * scale_l[:, None, None])
     lvl = jnp.pad(lvl, (0, pad)) if pad else lvl
+    return (xy0, lvl, flat(angs), flat(descs), flat(kps.score),
+            flat(kps.valid))
 
-    lines = lsd_ops.detect_lines(
+
+def detect_line_segments(img: jax.Array, cfg: Config):
+    """LSD-analog line detection only (detectLineFeatures detection half,
+    stereoFrame.cpp:1155-1201)."""
+    return lsd_ops.detect_lines(
         img, n_out=cfg.cap.n_ln,
         ang_th_deg=cfg.lsd.ang_th, quant=cfg.lsd.quant,
         min_rel_length=cfg.tracking.min_line_length)
-    ln_desc, _ = lbd_ops.lbd_descriptors(img, lines.sp, lines.ep)
+
+
+def describe_line_segments(img: jax.Array, sp: jax.Array, ep: jax.Array):
+    """LBD description of detected segments (BinaryDescriptor::compute,
+    stereoFrame.cpp:1203-1227)."""
+    desc, _ = lbd_ops.lbd_descriptors(img, sp, ep)
+    return desc
+
+
+def detect_camera_features(img: jax.Array, cfg: Config,
+                           fast_th: jax.Array) -> CameraFeatures:
+    """Points (all pyramid levels) + lines for one camera image.
+
+    Replaces detectFeatures/detectPointFeatures/detectLineFeatures
+    (stereoFrame.cpp:1019-1227); the reference's point/line threads become
+    compiler-scheduled independent subgraphs (the stage functions above,
+    fused here into one program).
+    """
+    xy0, lvl, angs, descs, score, valid = detect_point_features(
+        img, cfg, fast_th)
+    lines = detect_line_segments(img, cfg)
+    ln_desc = describe_line_segments(img, lines.sp, lines.ep)
 
     return CameraFeatures(
         pt_xy=xy0, pt_level=lvl,
-        pt_angle=flat(angs), pt_desc=flat(descs),
-        pt_score=flat(kps.score), pt_valid=flat(kps.valid),
+        pt_angle=angs, pt_desc=descs,
+        pt_score=score, pt_valid=valid,
         ln_sp=lines.sp, ln_ep=lines.ep, ln_angle=lines.angle,
         ln_desc=ln_desc, ln_valid=lines.valid)
 
@@ -169,6 +195,8 @@ def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
         nlv, dtype=jnp.float32)
     # flat element indexing into the padded pyramid: indexing ``pyr[li]``
     # with a traced level inside vmap gathers a whole [H, W] slice per point
+    # (vmapped dynamic_slice is NO better: it lowers to a sequential while
+    # loop on this backend — measured 5 ms/frame vs <2 ms for flat gathers)
     flat_l = pyr_l.reshape(-1)
     flat_r = pyr_r.reshape(-1)
 
@@ -249,9 +277,14 @@ def stereo_match_points(cam: CameraParams, cfg: Config,
     ok &= best_d < 1.5 * 1.4 * med
 
     p3d = cam_ops.back_project_batch(cam, feat_l.pt_xy, disp)
+    # per-octave inverse-variance weight sigma2 = 1/scale^(2*level)
+    # (PointFeature ctor, stereoFeatures.cpp:42-47) — higher octaves carry
+    # proportionally larger pixel noise in the robust weights
+    sigma2 = (jnp.asarray(sf, jnp.float32)
+              ** (-2.0 * feat_l.pt_level.astype(jnp.float32)))
     return StereoPoints(xy=feat_l.pt_xy, disp=disp, p3d=p3d,
                         desc=feat_l.pt_desc, level=feat_l.pt_level,
-                        sigma2=jnp.ones_like(disp), valid=ok)
+                        sigma2=sigma2, valid=ok)
 
 
 def _line_overlap(sy_l, ey_l, sy_r, ey_r):

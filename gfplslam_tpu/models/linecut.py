@@ -127,6 +127,25 @@ def pose_info_point(cam: CameraParams, dt: jax.Array, p3d: jax.Array,
     return jnp.outer(j, j) * (r * r)  # == J_aux J_aux^T of the reference
 
 
+def _det4(m: jax.Array) -> jax.Array:
+    """Explicit 4x4 determinant by cofactor expansion on 2x2 minors
+    (batched; avoids LU-based slogdet on tiny matrices)."""
+    a = m[..., 0, 0]; b = m[..., 0, 1]; c = m[..., 0, 2]; d = m[..., 0, 3]
+    e = m[..., 1, 0]; f = m[..., 1, 1]; g = m[..., 1, 2]; h = m[..., 1, 3]
+    i = m[..., 2, 0]; j = m[..., 2, 1]; k = m[..., 2, 2]; l = m[..., 2, 3]
+    mm = m[..., 3, 0]; n = m[..., 3, 1]; o = m[..., 3, 2]; p = m[..., 3, 3]
+    kp_lo = k * p - l * o
+    jp_ln = j * p - l * n
+    jo_kn = j * o - k * n
+    ip_lm = i * p - l * mm
+    io_km = i * o - k * mm
+    in_jm = i * n - j * mm
+    return (a * (f * kp_lo - g * jp_ln + h * jo_kn)
+            - b * (e * kp_lo - g * ip_lm + h * io_km)
+            + c * (e * jp_ln - f * ip_lm + h * in_jm)
+            - d * (e * jo_kn - f * io_km + g * in_jm))
+
+
 def _logdet_pd(m: jax.Array) -> jax.Array:
     """log det of a (near-)PD 6x6 via Cholesky (linespec.cpp logdet)."""
     l = jnp.linalg.cholesky(m + 1e-9 * jnp.eye(6, dtype=m.dtype))
@@ -176,26 +195,31 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
     r0 = jnp.zeros(m)
     r1 = jnp.zeros(m)
     j0, d0 = factors(r0, r1)
-    infos = info_of(j0, d0)
     steps = jnp.asarray(_NEIGHBOR_STEPS * step)
 
-    def cand_metrics_logdet(rest, c0, c1):
-        """Determinant lemma: logdet(rest + J D J^T) = logdet(rest)
-        + log det(I2 + D J^T rest^-1 J). One 6x6 Cholesky per LINE, then
-        each candidate costs a triangular solve + 2x2 determinant."""
-        l = jnp.linalg.cholesky(rest + 1e-8 * jnp.eye(6))     # [M,6,6]
-        ld_rest = 2.0 * jnp.sum(jnp.log(jnp.maximum(
-            jnp.diagonal(l, axis1=-2, axis2=-1), 1e-30)), axis=-1)
+    def cand_metrics_logdet(total, j_own, d_own, c0, c1):
+        """Rank-4 determinant lemma against the SHARED total information:
+        logdet(total - own + cand) = logdet(total)
+        + logdet(I4 + D U^T total^-1 U) with U = [j_own | j_cand] ([6, 4])
+        and D = diag(-d_own, +d_cand). ONE 6x6 Cholesky per iteration (of
+        the total) replaces the per-line factorization of `rest`; every
+        (line, candidate) costs a shared-triangular solve + a 4x4
+        determinant. Scores differ from the per-line form only by the
+        common logdet(total) shift, which cancels in the argmax."""
+        l = jnp.linalg.cholesky(total + 1e-8 * jnp.eye(6))      # [6,6]
         js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
-            c0, c1)                                           # [M,9,6,2]
-        l_b = jnp.broadcast_to(l[:, None], (l.shape[0], js.shape[1], 6, 6))
-        y = jax.scipy.linalg.solve_triangular(l_b, js, lower=True)  # [M,9,6,2]
-        mm = jnp.einsum("mkir,mkis->mkrs", y, y)              # [M,9,2,2]
-        d1 = ds[..., 0]
-        d2 = ds[..., 1]
-        det2 = ((1 + d1 * mm[..., 0, 0]) * (1 + d2 * mm[..., 1, 1])
-                - d1 * d2 * mm[..., 0, 1] * mm[..., 1, 0])
-        val = ld_rest[:, None] + jnp.log(jnp.maximum(det2, 1e-30))
+            c0, c1)                                             # [M,9,6,2]
+        u = jnp.concatenate([
+            jnp.broadcast_to(j_own[:, None], js.shape), js], -1)  # [M,9,6,4]
+        d4 = jnp.concatenate([
+            jnp.broadcast_to(-d_own[:, None], ds.shape), ds], -1)  # [M,9,4]
+        y = jax.scipy.linalg.solve_triangular(
+            l, u.reshape(-1, 6, 4).transpose(1, 0, 2).reshape(6, -1),
+            lower=True).reshape(6, -1, 4).transpose(1, 0, 2)    # [M*9,6,4]
+        g = jnp.einsum("bir,bis->brs", y, y).reshape(*ds.shape[:2], 4, 4)
+        m4 = jnp.eye(4) + d4[..., :, None] * g                  # [M,9,4,4]
+        det = _det4(m4)
+        val = jnp.where(det > 0, jnp.log(jnp.maximum(det, 1e-30)), -jnp.inf)
         return jnp.where(jnp.isfinite(val), val, -jnp.inf)
 
     def cand_metrics_mineig(rest, c0, c1):
@@ -205,9 +229,9 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         return jax.vmap(jax.vmap(_min_eig))(rest[:, None] + cand_infos)
 
     def body(carry):
-        r0, r1, infos, it, _ = carry
-        info_sum = jnp.sum(infos, axis=0) + pt_sum
-        rest = info_sum[None] - infos                       # [M,6,6]
+        r0, r1, j_cur, d_cur, it, _ = carry
+        info_sum = (jnp.einsum("mik,mk,mjk->ij", j_cur, d_cur, j_cur)
+                    + pt_sum)
 
         # candidate grid: slot 0 = stay (base), slots 1..8 = moves
         c0 = jnp.concatenate([r0[:, None], r0[:, None] + steps[None, :, 0]], 1)
@@ -215,8 +239,10 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         feas = ((c0 + c1 <= 1.0) & (c0 >= rng_lo) & (c0 <= rng_hi)
                 & (c1 >= rng_lo) & (c1 <= rng_hi))
         if use_logdet:
-            cand_metric = cand_metrics_logdet(rest, c0, c1)   # [M,9]
+            cand_metric = cand_metrics_logdet(info_sum, j_cur, d_cur,
+                                              c0, c1)         # [M,9]
         else:
+            rest = info_sum[None] - info_of(j_cur, d_cur)
             cand_metric = cand_metrics_mineig(rest, c0, c1)
         cand_metric = jnp.where(feas & lns.valid[:, None], cand_metric,
                                 -jnp.inf)
@@ -227,18 +253,20 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         nr0 = jnp.where(take, jnp.take_along_axis(c0, best[:, None], 1)[:, 0], r0)
         nr1 = jnp.where(take, jnp.take_along_axis(c1, best[:, None], 1)[:, 0], r1)
         nj, nd = factors(nr0, nr1)
-        n_infos = jnp.where(take[:, None, None], info_of(nj, nd), infos)
-        return nr0, nr1, n_infos, it + 1, jnp.any(take)
+        nj = jnp.where(take[:, None, None], nj, j_cur)
+        nd = jnp.where(take[:, None], nd, d_cur)
+        return nr0, nr1, nj, nd, it + 1, jnp.any(take)
 
     # unrolled with a masked "improved" flag instead of lax.while_loop:
-    # per-iteration device-loop overhead dwarfs the batched 2x2-update body
-    carry = (r0, r1, infos, jnp.asarray(0, jnp.int32), jnp.asarray(True))
+    # per-iteration device-loop overhead dwarfs the batched rank-4 body
+    carry = (r0, r1, j0, d0, jnp.asarray(0, jnp.int32), jnp.asarray(True))
     for _ in range(max_steps):
         nxt = body(carry)
-        improved = carry[4]
+        improved = carry[5]
         carry = jax.tree.map(
             lambda new, old: jnp.where(improved, new, old), nxt, carry)
-    r0, r1, infos, iters, _ = carry
+    r0, r1, j_cur, d_cur, iters, _ = carry
+    infos = info_of(j_cur, d_cur)
     info_sum = jnp.sum(infos, axis=0) + pt_sum
     return CutResult(r0=r0, r1=r1, info=infos, info_sum=info_sum, iters=iters)
 

@@ -51,24 +51,61 @@ def make_vocab(v: int = 1024, seed: int = 31) -> np.ndarray:
     return rng.integers(0, 2 ** 32, size=(v, 8), dtype=np.uint32)
 
 
-# master anchor pools; the active vocabulary is the first cfg.cap.vocab_k
+# master anchor pools; the active vocabulary is the first cfg.cap.vocab_k.
+# A trained vocabulary (apps/train_vocab.py k-majority clustering over
+# multi-world descriptor corpora) ships with the package and is loaded by
+# default — the analog of the reference loading its pre-trained .yml
+# vocabularies at startup (config.cpp:59-60, mapHandler.cpp:30-35); the
+# seeded random anchors remain the fallback when the file is absent.
 _VOCAB_P_FULL = make_vocab(seed=31)
 _VOCAB_L_FULL = make_vocab(seed=67)
+VOCAB_SOURCE = "random-anchors"
+
+
+_TRAINED_P = None
+_TRAINED_L = None
+
+
+def _load_default_vocab() -> None:
+    global _TRAINED_P, _TRAINED_L, VOCAB_SOURCE
+    import os
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "data", "vocab_synth.npz")
+    if os.path.exists(path):
+        data = np.load(path)
+        _TRAINED_P = np.asarray(data["vocab_p"], np.uint32)
+        _TRAINED_L = np.asarray(data["vocab_l"], np.uint32)
+        VOCAB_SOURCE = path
+
+
+def active_vocab(vocab_k: int) -> tuple[np.ndarray, np.ndarray]:
+    """The vocabulary used at size ``vocab_k``: the trained words when the
+    sizes match exactly (slicing a k-majority codebook drops half its words
+    and breaks discrimination), random anchors otherwise."""
+    if _TRAINED_P is not None and _TRAINED_P.shape[0] == vocab_k:
+        return _TRAINED_P, (_TRAINED_L if _TRAINED_L.shape[0] == vocab_k
+                            else _VOCAB_L_FULL[:vocab_k])
+    return _VOCAB_P_FULL[:vocab_k], _VOCAB_L_FULL[:vocab_k]
 
 
 def set_vocab(vocab_p: np.ndarray, vocab_l: np.ndarray) -> None:
     """Install trained vocabularies (apps/train_vocab.py output) in place of
     the default random anchors — the analog of loading the reference's
-    pre-trained .yml files (config.cpp:59-60)."""
-    global _VOCAB_P_FULL, _VOCAB_L_FULL
-    _VOCAB_P_FULL = np.asarray(vocab_p, np.uint32)
-    _VOCAB_L_FULL = np.asarray(vocab_l, np.uint32)
+    pre-trained .yml files (config.cpp:59-60). Active only for configs whose
+    ``vocab_k`` equals the trained word count (see :func:`active_vocab`)."""
+    global _TRAINED_P, _TRAINED_L, VOCAB_SOURCE
+    _TRAINED_P = np.asarray(vocab_p, np.uint32)
+    _TRAINED_L = np.asarray(vocab_l, np.uint32)
+    VOCAB_SOURCE = "set_vocab()"
     insert_kf_bow.clear_cache()
 
 
 def load_vocab(path: str) -> None:
     data = np.load(path)
     set_vocab(data["vocab_p"], data["vocab_l"])
+
+
+_load_default_vocab()
 
 
 class LoopState(NamedTuple):
@@ -165,9 +202,9 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     score = (sp*n_pt + sl*n_ln)/n_pl + (sp*std_pt + sl*std_ln)/std_pl."""
     f = frame.points
     fl = frame.lines
-    v = cfg.cap.vocab_k
-    bow_p = bow_vector(f.desc, f.valid, _VOCAB_P_FULL[:v])
-    bow_l = bow_vector(fl.desc, fl.valid, _VOCAB_L_FULL[:v])
+    vocab_p, vocab_l = active_vocab(cfg.cap.vocab_k)
+    bow_p = bow_vector(f.desc, f.valid, vocab_p)
+    bow_l = bow_vector(fl.desc, fl.valid, vocab_l)
     n_pt = jnp.sum(f.valid)
     n_ln = jnp.sum(fl.valid)
     std_pt = (_masked_stdv(f.xy[:, 0], f.valid)

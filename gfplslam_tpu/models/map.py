@@ -562,14 +562,16 @@ def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
     (localBundleAdjustment setup, mapHandler.cpp:1108-1215).
 
     ``window`` overrides the window capacity; ``global_ba=True`` selects all
-    valid KFs (globalBundleAdjustment, mapHandler.cpp:1844-1948 — maps above
-    ``window`` KFs should use the distributed solver instead).
+    valid KFs and sizes the problem to the full landmark pools and
+    observation ring (globalBundleAdjustment, mapHandler.cpp:1844-1948);
+    ``SLAMSystem.finish`` routes the solve through the distributed
+    landmark-sharded solver when more than one device is available.
 
     Returns (problem, window_kf_ids [Kw], window_pt_ids [Pw],
     window_ln_ids [Lw]) for scattering results back.
     """
     cap = cfg.cap
-    kw = window or cap.n_kf_window
+    kw = window or (cap.n_kf_max if global_ba else cap.n_kf_window)
     cur = m.n_kf - 1
     if global_ba:
         kf_loc = m.kf_valid
@@ -589,11 +591,11 @@ def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
 
     if global_ba:
         pt_loc, ln_loc = m.pt_valid, m.ln_valid
+        pw, lw = m.pt_pos.shape[0], m.ln_sp.shape[0]
     else:
         pt_loc, ln_loc = local_landmark_masks(cfg, m, cur)
-    pw, lw = cap.n_obs_pt // 2, cap.n_obs_ln // 2
-    pw = min(pw, m.pt_pos.shape[0])
-    lw = min(lw, m.ln_sp.shape[0])
+        pw = min(cap.n_obs_pt // 2, m.pt_pos.shape[0])
+        lw = min(cap.n_obs_ln // 2, m.ln_sp.shape[0])
     p_ids = jax.lax.top_k(jnp.where(pt_loc, jnp.arange(m.pt_pos.shape[0]),
                                     -1), pw)[0]
     l_ids = jax.lax.top_k(jnp.where(ln_loc, jnp.arange(m.ln_sp.shape[0]),
@@ -610,7 +612,10 @@ def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
     # observation selection: kf in window AND lm in window
     po_sel = m.po_valid & (kf2slot[m.po_kf] >= 0) & (pt2slot[m.po_lm] >= 0)
     lo_sel = m.lo_valid & (kf2slot[m.lo_kf] >= 0) & (ln2slot[m.lo_lm] >= 0)
-    op, ol = cap.n_obs_pt, cap.n_obs_ln
+    if global_ba:  # the whole observation ring participates
+        op, ol = m.po_kf.shape[0], m.lo_kf.shape[0]
+    else:
+        op, ol = cap.n_obs_pt, cap.n_obs_ln
     po_rank = jax.lax.top_k(
         jnp.where(po_sel, jnp.arange(m.po_kf.shape[0]), -1), op)[0]
     lo_rank = jax.lax.top_k(

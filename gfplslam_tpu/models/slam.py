@@ -34,6 +34,14 @@ class SLAMSystem:
     # removeRedundantKFs (mapHandler.cpp:2632-2795); opt-in to mirror the
     # reference's shipped default
     cull_redundant_kfs: bool = False
+    # asynchronous mapping: the capability the reference declared but never
+    # built (addKeyFrame_multiThread/localMappingThread/loopClosureThread,
+    # mapHandler.h:86-88). BA + loop-candidate scoring are DISPATCHED at KF
+    # k (JAX async dispatch — device work overlaps host tracking of the
+    # following frames) and their host-visible decisions (tracker rebase,
+    # LC state machine) are harvested at KF k+1, so tracking never blocks
+    # on mapping. Loop closures land one KF later than in sync mode.
+    async_mapping: bool = False
     vo: VisualOdometry = None
     map: map_ops.MapState = None
     loop_state: loop_ops.LoopState = None
@@ -47,6 +55,9 @@ class SLAMSystem:
     n_fused_landmarks: int = 0
     kf_frame_ids: list = field(default_factory=list)
     kf_timestamps: list = field(default_factory=list)
+    # async-mapping deferred results: (kf_idx, cand_dev, ver_dev) awaiting
+    # harvest at the next KF boundary
+    _deferred: tuple = None
 
     def __post_init__(self):
         if self.vo is None:
@@ -55,6 +66,8 @@ class SLAMSystem:
             self.map = map_ops.empty_map(self.cfg)
         if self.loop_state is None:
             self.loop_state = loop_ops.empty_loop_state(self.cfg)
+        # host mirror of map.n_kf so async dispatch never forces the map
+        self._n_kf_host = int(self.map.n_kf)
 
     # ------------------------------------------------------------------
     def process(self, img_l: np.ndarray, img_r: np.ndarray,
@@ -64,7 +77,11 @@ class SLAMSystem:
         frame = self.vo.prev_frame  # the frame just processed
 
         if rec.is_kf and not self.vo.lost:
-            kf_idx = int(self.map.n_kf)
+            kf_idx = self._n_kf_host
+            if self.async_mapping:
+                # harvest the PREVIOUS KF's mapping results (device work
+                # overlapped the tracking of the frames in between)
+                self._harvest_deferred()
             if kf_idx == 0:
                 self.map = map_ops.initialize_map(self.cfg, self.map, frame)
             else:
@@ -85,12 +102,36 @@ class SLAMSystem:
                 self.cfg, self.loop_state, jnp.asarray(kf_idx), frame)
             self.kf_frame_ids.append(self.vo.frame_idx - 1)
             self.kf_timestamps.append(timestamp)
+            self._n_kf_host = kf_idx + 1
             if self.run_loop_closure and kf_idx > 0:
-                self._loop_closure_step(kf_idx)
-            # feed the corrected map pose back to the tracker so subsequent
-            # frames (and the all-frame trajectory) ride the optimized map
-            self.vo.rebase(self.kf_pose_world(kf_idx))
+                if self.async_mapping:
+                    # dispatch candidate scoring + verification on device
+                    # without forcing; decisions harvested at the next KF
+                    cand = loop_ops.look_for_loop_candidates(
+                        self.cfg, self.loop_state, self.map.full_graph,
+                        jnp.asarray(kf_idx))
+                    ver = loop_ops.verify_loop(
+                        self.cfg, self.loop_state,
+                        jnp.maximum(cand, 0), jnp.asarray(kf_idx))
+                    self._deferred = (kf_idx, cand, ver)
+                else:
+                    self._loop_closure_step(kf_idx)
+            if not self.async_mapping:
+                # feed the corrected map pose back to the tracker so
+                # subsequent frames ride the optimized map
+                self.vo.rebase(self.kf_pose_world(kf_idx))
         return rec
+
+    def _harvest_deferred(self):
+        """Apply the previous KF's deferred mapping decisions (async mode):
+        LC state machine on the now-complete device results, then tracker
+        rebase onto the corrected map pose."""
+        if self._deferred is not None:
+            kf_idx, cand, ver = self._deferred
+            self._deferred = None
+            self._lc_decide(int(cand), ver, kf_idx)
+        if self._n_kf_host > 0:
+            self.vo.rebase(self.kf_pose_world(self._n_kf_host - 1))
 
     # ------------------------------------------------------------------
     def kf_pose_world(self, kf_idx: int) -> np.ndarray:
@@ -115,16 +156,22 @@ class SLAMSystem:
         cand = int(loop_ops.look_for_loop_candidates(
             self.cfg, self.loop_state, self.map.full_graph,
             jnp.asarray(kf_curr)))
-        verified = False
+        ver = None
         if cand >= 0:
             ver = loop_ops.verify_loop(self.cfg, self.loop_state,
                                        jnp.asarray(cand),
                                        jnp.asarray(kf_curr))
-            if bool(ver.accepted):
-                verified = True
-                self.lc_consecutive += 1
-                self.lc_pending.append((cand, kf_curr, np.asarray(ver.t_rel)))
-                self.lc_status = LC_ACTIVE
+        self._lc_decide(cand, ver, kf_curr)
+
+    def _lc_decide(self, cand: int, ver, kf_curr: int):
+        """The host-side LC state machine on computed candidate/verification
+        results (shared by the sync and async paths)."""
+        verified = False
+        if cand >= 0 and ver is not None and bool(ver.accepted):
+            verified = True
+            self.lc_consecutive += 1
+            self.lc_pending.append((cand, kf_curr, np.asarray(ver.t_rel)))
+            self.lc_status = LC_ACTIVE
         if not verified and self.lc_status == LC_ACTIVE:
             # the car has passed the already-visited street: close now
             # (LC_ACTIVE -> LC_READY -> optimize, mapHandler.cpp:2840-2861)
@@ -148,10 +195,19 @@ class SLAMSystem:
             self.cfg.slam.min_lm_ess_graph,
             lc_i, lc_j, lc_t,
             max_edges=int(m.kf_pose.shape[0] * 4))
-        fixed = jnp.zeros(m.kf_pose.shape[0], bool).at[0].set(True)
-        fixed = fixed.at[kf_prev].set(True)
+        # the reference seeds each LC current-KF at the constraint-implied
+        # pose and FIXES it, along with the loop target and KF0
+        # (loopClosureOptimization*G2O vertex setup, mapHandler.cpp:4005-4025)
+        # — PGO then bends the chain between the fixed endpoints
+        kf_pose = m.kf_pose
+        fixed = jnp.zeros(kf_pose.shape[0], bool).at[0].set(True)
+        for (p_i, c_i, t_rel_i) in self.lc_pending:
+            corrected = np.asarray(kf_pose[p_i]) @ np.linalg.inv(t_rel_i)
+            kf_pose = kf_pose.at[c_i].set(
+                jnp.asarray(corrected.astype(np.float32)))
+            fixed = fixed.at[p_i].set(True).at[c_i].set(True)
         new_poses = loop_ops.optimize_pose_graph(
-            m.kf_pose, m.kf_valid, edges, fixed,
+            kf_pose, m.kf_valid, edges, fixed,
             iters=min(self.cfg.slam.max_iters_pgo, 50))
         pt_pos = loop_ops.rigid_correct_landmarks(
             m.kf_pose, new_poses, m.pt_pos, m.pt_last_kf, m.pt_valid)
@@ -175,17 +231,40 @@ class SLAMSystem:
 
     # ------------------------------------------------------------------
     def finish(self, run_global_ba: bool = False):
-        """Flush a pending loop closure (finishSLAM, mapHandler.cpp:96-111);
-        optionally refine everything with a global BA pass
-        (globalBundleAdjustment, mapHandler.cpp:1844-1948)."""
+        """Flush deferred mapping results and any pending loop closure
+        (finishSLAM, mapHandler.cpp:96-111); optionally refine everything
+        with a global BA pass (globalBundleAdjustment,
+        mapHandler.cpp:1844-1948) — solved distributed (landmark-sharded
+        Schur over the device mesh, parallel/dist_ba.py) when more than one
+        device is available, dense single-chip otherwise."""
+        if self.async_mapping:
+            self._harvest_deferred()
         if self.lc_pending:
             self._close_loop()
         if run_global_ba and int(self.map.n_kf) >= 2:
-            window = min(int(self.map.kf_pose.shape[0]), 64)
+            import jax
             prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
-                self.cfg, self.map, window=window, global_ba=True)
-            res = ba_ops.solve_ba(self.cfg.camera, prob,
-                                  max_iters=self.cfg.slam.max_iters_lba)
+                self.cfg, self.map, global_ba=True)
+            n_dev = len(jax.devices())
+            if n_dev > 1:
+                from gfplslam_tpu.parallel import dist_ba
+                mesh = dist_ba.make_mesh(n_dev)
+                sharded = dist_ba.shard_problem_by_landmark(prob, n_dev)
+                res = dist_ba.solve_ba_sharded(
+                    self.cfg.camera, sharded, mesh,
+                    lambda0=self.cfg.slam.lambda_lba_lm,
+                    lambda_k=self.cfg.slam.lambda_lba_k,
+                    max_iters=self.cfg.slam.max_iters_lba)
+                # crop the shard padding back to the problem's pool sizes
+                res = res._replace(
+                    pt_pos=res.pt_pos[:p_ids.shape[0]],
+                    ln_sp=res.ln_sp[:l_ids.shape[0]],
+                    ln_ep=res.ln_ep[:l_ids.shape[0]])
+            else:
+                res = ba_ops.solve_ba(self.cfg.camera, prob,
+                                      lambda0=self.cfg.slam.lambda_lba_lm,
+                                      lambda_k=self.cfg.slam.lambda_lba_k,
+                                      max_iters=self.cfg.slam.max_iters_lba)
             self.map = map_ops.apply_ba_result(self.cfg, self.map, res,
                                                win_ids, p_ids, l_ids)
 
@@ -206,6 +285,7 @@ class SLAMSystem:
         self.map = out["map"]
         self.loop_state = out["loop"]
         self.vo.state = out["tracker"]
+        self._n_kf_host = int(self.map.n_kf)
 
     @property
     def keyframe_trajectory(self) -> np.ndarray:

@@ -79,17 +79,12 @@ def initial_state(cfg: Config) -> TrackerState:
         prev_f_is_kf=jnp.asarray(True))
 
 
-def cross_frame_matching(cfg: Config, prev: StereoFrame, curr: StereoFrame,
-                         dt_pred: jax.Array) -> CrossMatches:
-    """Hybrid cross-frame matching (crossFrameMatching_Hybrid, :451-695).
-
-    Points: Hamming matrix gated by search radius + 3D->2D projection window
-    (10 px, :536-540), best-per-target dedup, budget. Lines: mutual best +
-    distinctiveness (MAD) + budget-distance threshold.
-    ``dt_pred`` is the constant-velocity T_curr<-prev used for projection.
-    """
+def cross_match_points(cfg: Config, prev: StereoFrame, curr: StereoFrame,
+                       dt_pred: jax.Array):
+    """Point half of crossFrameMatching_Hybrid (:451-599): Hamming matrix
+    gated by search radius + 3D->2D projection window (10 px, :536-540),
+    best-per-target dedup, budget."""
     cam, tr, stvo = cfg.camera, cfg.tracking, cfg.stvo
-    # ---- points ----
     p = prev.points
     c = curr.points
     d = hamming_matrix(p.desc, c.desc, p.valid, c.valid).astype(jnp.float32)
@@ -109,8 +104,13 @@ def cross_frame_matching(cfg: Config, prev: StereoFrame, curr: StereoFrame,
     pts = pose_opt.PointMatches(
         p3d=p.p3d, obs=c.xy[pm.idx], sigma2=p.sigma2, valid=pm.valid)
     pt_curr_idx = jnp.where(pm.valid, pm.idx, -1)
+    return pts, pt_curr_idx
 
-    # ---- lines ----
+
+def cross_match_lines(cfg: Config, prev: StereoFrame, curr: StereoFrame):
+    """Line half of crossFrameMatching_Hybrid (:605-686): mutual best +
+    distinctiveness (MAD) + budget-distance threshold."""
+    tr, stvo = cfg.tracking, cfg.stvo
     lp = prev.lines
     lc = curr.lines
     dl = hamming_matrix(lp.desc, lc.desc, lp.valid, lc.valid).astype(jnp.float32)
@@ -130,7 +130,17 @@ def cross_frame_matching(cfg: Config, prev: StereoFrame, curr: StereoFrame,
         sp3d=lp.sp3d, ep3d=lp.ep3d, le_obs=lc.le[lm.idx],
         sigma2=lp.sigma2, valid=lm.valid)
     ln_curr_idx = jnp.where(lm.valid, lm.idx, -1)
+    return lns, ln_curr_idx
 
+
+def cross_frame_matching(cfg: Config, prev: StereoFrame, curr: StereoFrame,
+                         dt_pred: jax.Array) -> CrossMatches:
+    """Hybrid cross-frame matching (crossFrameMatching_Hybrid, :451-695):
+    the point and line halves above, fused into one program.
+    ``dt_pred`` is the constant-velocity T_curr<-prev used for projection.
+    """
+    pts, pt_curr_idx = cross_match_points(cfg, prev, curr, dt_pred)
+    lns, ln_curr_idx = cross_match_lines(cfg, prev, curr)
     return CrossMatches(points=pts, lines=lns,
                         pt_curr_idx=pt_curr_idx, ln_curr_idx=ln_curr_idx)
 
@@ -158,6 +168,20 @@ def _update_fast_th(cfg: Config, fast_th, accepted, err, n_pt, n_all):
     return th
 
 
+def apply_linecut(cfg: Config, prev: StereoFrame, matches: CrossMatches,
+                  dt_pred: jax.Array):
+    """Good-line-cutting preconditioner on the matched lines, applied before
+    pose optimization (insertStereoPair :103-146 ordering)."""
+    from gfplslam_tpu.models import linecut
+    from gfplslam_tpu.models.frame import estimate_line_uncertainty
+    prev_lines = estimate_line_uncertainty(cfg.camera, cfg, prev.lines)
+    cut = linecut.cut_lines(cfg.camera, dt_pred, matches.lines,
+                            prev_lines.cov_sp3d, prev_lines.cov_ep3d,
+                            matches.points,
+                            use_logdet=cfg.stvo.max_vol_line_cut)
+    return linecut.apply_cut(cfg.camera, matches.lines, cut)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def track_step(cfg: Config, state: TrackerState, prev: StereoFrame,
                curr: StereoFrame, delta_t: jax.Array) -> TrackOutput:
@@ -170,22 +194,19 @@ def track_step(cfg: Config, state: TrackerState, prev: StereoFrame,
     dt_pred = se3.inverse_se3(state.dt_store)
     matches = cross_frame_matching(cfg, prev, curr, dt_pred)
 
-    # good-line-cutting preconditioner on the matched lines, applied before
-    # pose optimization (insertStereoPair :103-146 ordering)
-    opt_lines = matches.lines
-    if cfg.stvo.use_line_conf_cut:
-        from gfplslam_tpu.models import linecut
-        from gfplslam_tpu.models.frame import estimate_line_uncertainty
-        prev_lines = estimate_line_uncertainty(cfg.camera, cfg, prev.lines)
-        cut = linecut.cut_lines(cfg.camera, dt_pred, matches.lines,
-                                prev_lines.cov_sp3d, prev_lines.cov_ep3d,
-                                matches.points,
-                                use_logdet=cfg.stvo.max_vol_line_cut)
-        opt_lines = linecut.apply_cut(cfg.camera, matches.lines, cut)
+    opt_lines = (apply_linecut(cfg, prev, matches, dt_pred)
+                 if cfg.stvo.use_line_conf_cut else matches.lines)
 
     res = pose_opt.optimize_pose(cfg.camera, dt_pred, matches.points,
                                  opt_lines, cfg.optimizer, delta_t)
+    return finalize_track(cfg, state, matches, res)
 
+
+def finalize_track(cfg: Config, state: TrackerState, matches: CrossMatches,
+                   res) -> TrackOutput:
+    """Post-optimization state update + KF decision (the tail of the
+    per-frame sequence: :1984-2030, needNewKF :2309-2349,
+    updateFrame_ECCV18 :864-922)."""
     dt_store = se3.inverse_se3(res.dt)           # T_prev<-curr
     t_cam_w = state.t_cam_w @ dt_store           # Tfw composition (:1996)
     t_cam_w = jnp.where(res.accepted, t_cam_w, state.t_cam_w)

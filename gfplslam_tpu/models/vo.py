@@ -110,18 +110,33 @@ class VisualOdometry:
         pose as T_base in updateFrame_ECCV18, plslam_mod.cpp:471-477)."""
         self.t_base_w = np.asarray(t_base_w, np.float64).copy()
 
+    def _frontend(self, img_l, img_r, log: TimeLog,
+                  timer: StageTimer) -> StereoFrame:
+        """Front-end hook: one fused device program (production path).
+        TimedVO overrides with staged programs for full TimeLog rows."""
+        frame = process_stereo_pair(jnp.asarray(img_l), jnp.asarray(img_r),
+                                    self.cfg, self.state.fast_th)
+        frame.points.valid.block_until_ready()
+        log.time_pt_extract = timer.lap()
+        return frame
+
+    def _track(self, frame: StereoFrame, delta_t: float, log: TimeLog,
+               timer: StageTimer):
+        """Tracking hook: fused track_step (production path)."""
+        out = trk.track_step(self.cfg, self.state, self.prev_frame, frame,
+                             jnp.asarray(delta_t, jnp.float32))
+        out.pose.dt.block_until_ready()
+        log.time_pose_optim = timer.lap()
+        return out
+
     def process(self, img_l: np.ndarray, img_r: np.ndarray,
                 timestamp: float) -> FrameRecord:
         """One camera frame. Returns this frame's record."""
-        cfg = self.cfg
         timer = StageTimer()
         log = TimeLog()
         if self.state is None:
-            self.state = trk.initial_state(cfg)
-        frame = process_stereo_pair(jnp.asarray(img_l), jnp.asarray(img_r),
-                                    cfg, self.state.fast_th)
-        frame.points.valid.block_until_ready()
-        log.time_pt_extract = timer.lap()
+            self.state = trk.initial_state(self.cfg)
+        frame = self._frontend(img_l, img_r, log, timer)
         log.num_pt_stereo = int(jnp.sum(frame.points.valid))
         log.num_ln_stereo = int(jnp.sum(frame.lines.valid))
 
@@ -140,13 +155,13 @@ class VisualOdometry:
             return rec
 
         delta_t = max(timestamp - self.prev_time, 1e-3)
-        out = trk.track_step(cfg, self.state, self.prev_frame, frame,
-                             jnp.asarray(delta_t, jnp.float32))
-        out.pose.dt.block_until_ready()
-        log.time_pose_optim = timer.lap()
+        out = self._track(frame, delta_t, log, timer)
         log.num_pt_cross = int(out.n_inliers_pt)
         log.num_ln_cross = int(out.n_inliers_ln)
-        log.time_track = log.time_pt_extract + log.time_pose_optim
+        log.time_track = sum(getattr(log, f) for f in (
+            "time_pt_extract", "time_ln_detect", "time_ln_descri",
+            "time_pt_stereo", "time_ln_stereo", "time_pt_cross",
+            "time_ln_cross", "time_ln_cut", "time_pose_optim"))
 
         self.state = out.state
         need_kf = bool(out.need_kf)

@@ -26,11 +26,32 @@ def hamming_matrix_xla(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(jax.lax.population_count(x), axis=-1, dtype=jnp.uint32)
 
 
+_ON_TPU = None
+
+
+def _tpu_backend() -> bool:
+    """True when the default backend is a TPU (incl. the axon tunnel
+    platform); decided once at first trace."""
+    global _ON_TPU
+    if _ON_TPU is None:
+        try:
+            _ON_TPU = jax.default_backend() in ("tpu", "axon")
+        except Exception:
+            _ON_TPU = False
+    return _ON_TPU
+
+
 def hamming_matrix(a: jax.Array, b: jax.Array,
                    valid_a: jax.Array | None = None,
                    valid_b: jax.Array | None = None,
-                   use_pallas: bool = False) -> jax.Array:
-    """Masked Hamming distance matrix; invalid rows/cols get BIG."""
+                   use_pallas: bool | None = None) -> jax.Array:
+    """Masked Hamming distance matrix; invalid rows/cols get BIG.
+
+    ``use_pallas=None`` (default) selects the tiled Pallas kernel on TPU
+    backends and the XLA popcount path elsewhere; pass True/False to force.
+    """
+    if use_pallas is None:
+        use_pallas = _tpu_backend()
     if use_pallas:
         from gfplslam_tpu.ops.pallas.hamming_pl import hamming_matrix_pallas
         d = hamming_matrix_pallas(a, b)

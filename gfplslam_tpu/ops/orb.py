@@ -6,11 +6,12 @@ Capability parity with the reference's extractor (ORBextractor.cc): intensity
 
 - orientation and description are ``vmap``-ed closed forms over the padded
   keypoint array (one gather kernel each), not per-keypoint loops;
-- the sampling pattern is generated, not copied: an isotropic-Gaussian BRIEF
-  pattern (sigma = patch/5, the classic BRIEF recipe) from a fixed seed.
-  Descriptors only ever compare against descriptors produced by this same
-  module (matching, BoW vocabulary are all in-engine), so the learned
-  ORB table is unnecessary — determinism and bit layout are what matter;
+- the sampling pattern defaults to ORB's standard learned 256-pair table
+  (public constant data, ops/orb_pattern.py; reference ships the same table
+  at ORBextractor.cc:150-406) expressed in sample-pool form: the 512 pair
+  endpoints dedupe to 375 unique offsets, so each keypoint costs 375
+  gathers + 256 comparisons. A generated isotropic-Gaussian pool
+  (``make_brief_pool``) remains available for A/B runs;
 - descriptors are packed into 8 uint32 words for popcount matching
   (stereoFrame.h:185-201's bit-hack becomes ``lax.population_count``).
 """
@@ -74,7 +75,28 @@ def make_brief_pool(seed: int = 1234, n_pool: int = DESC_BITS,
     return pool, np.asarray(out, np.int32)
 
 
-BRIEF_POOL, BRIEF_PAIRS = make_brief_pool()
+RANDOM_POOL, RANDOM_PAIRS = make_brief_pool()
+
+from gfplslam_tpu.ops.orb_pattern import orb_pool_pairs  # noqa: E402
+
+ORB_POOL, ORB_PAIRS = orb_pool_pairs()
+
+# active pattern (learned ORB table by default; see set_pattern)
+BRIEF_POOL, BRIEF_PAIRS = ORB_POOL, ORB_PAIRS
+
+
+def set_pattern(kind: str = "orb") -> None:
+    """Select the descriptor sampling pattern: "orb" (learned table,
+    default) or "random" (generated Gaussian pool). The pool is captured at
+    trace time, so call this before building any jitted program (or run
+    ``jax.clear_caches()`` after switching)."""
+    global BRIEF_POOL, BRIEF_PAIRS
+    if kind == "orb":
+        BRIEF_POOL, BRIEF_PAIRS = ORB_POOL, ORB_PAIRS
+    elif kind == "random":
+        BRIEF_POOL, BRIEF_PAIRS = RANDOM_POOL, RANDOM_PAIRS
+    else:
+        raise ValueError(f"unknown pattern {kind!r}")
 
 
 def _gather_patch(img: jax.Array, cx: jax.Array, cy: jax.Array,
@@ -169,3 +191,44 @@ def brief_descriptors(img_blur: jax.Array, xy: jax.Array,
                       angles: jax.Array) -> jax.Array:
     """[N,2] keypoints + [N] angles -> [N, 8] uint32 descriptors."""
     return jax.vmap(lambda p, a: brief_descriptor_one(img_blur, p, a))(xy, angles)
+
+
+PATCH_R = 19  # covers rotated pool offsets: |p| <= 13*sqrt(2) ~ 18.4
+
+
+def brief_descriptors_patch(img_blur: jax.Array, xy: jax.Array,
+                            angles: jax.Array) -> jax.Array:
+    """Patch-extraction steered BRIEF: [N,2] + [N] -> [N, 8] uint32.
+
+    Numerically the same descriptor family as :func:`brief_descriptors`
+    (same pool/pairs, same steering) but the memory access pattern is
+    TPU-shaped: ONE contiguous (2R+1)^2 block per keypoint
+    (``dynamic_slice`` under vmap lowers to a coalesced block gather)
+    followed by row-local pattern sampling inside the patch, instead of
+    ~375 random single-element gathers per keypoint against the full image
+    (random gathers are the dominant cost on this hardware — verify-skill
+    cost model). Centers are rounded before sampling (<=0.5 px shift vs the
+    float-center path; descriptors are self-consistent in-engine)."""
+    h, w = img_blur.shape
+    r = PATCH_R
+    n = xy.shape[0]
+    side = 2 * r + 1
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), r, w - 1 - r)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), r, h - 1 - r)
+    patches = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+        img_blur, (y - r, x - r), (side, side)))(yi, xi)
+    pf = patches.reshape(n, side * side)
+
+    pool = jnp.asarray(BRIEF_POOL, jnp.float32)
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    rx = jnp.round(ca[:, None] * pool[None, :, 0]
+                   - sa[:, None] * pool[None, :, 1]).astype(jnp.int32)
+    ry = jnp.round(sa[:, None] * pool[None, :, 0]
+                   + ca[:, None] * pool[None, :, 1]).astype(jnp.int32)
+    idx = (ry + r) * side + (rx + r)                     # [N, P] in-patch
+    vals = jnp.take_along_axis(pf, idx, axis=1)          # [N, P]
+    pairs = jnp.asarray(BRIEF_PAIRS)
+    bits = (vals[:, pairs[:, 0]] < vals[:, pairs[:, 1]]).astype(jnp.uint32)
+    words = bits.reshape(n, DESC_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=2, dtype=jnp.uint32)

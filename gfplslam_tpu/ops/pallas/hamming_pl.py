@@ -34,13 +34,16 @@ def _hamming_kernel(a_ref, b_ref, out_ref):
     out_ref[:] = acc
 
 
-@partial(jax.jit, static_argnames=())
-def hamming_matrix_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
+@partial(jax.jit, static_argnames=("interpret",))
+def hamming_matrix_pallas(a: jax.Array, b: jax.Array,
+                          interpret: bool = False) -> jax.Array:
     """[N, W] x [M, W] uint32 -> [N, M] uint32; N must be a multiple of 256
-    (capacities in CapacityParams are)."""
+    and M a multiple of 128 (capacities in CapacityParams are); other shapes
+    fall back to the XLA path. ``interpret=True`` runs the kernel in Pallas
+    interpreter mode (CPU parity tests)."""
     n, w = a.shape
     m = b.shape[0]
-    if n % TILE_N != 0:
+    if n % TILE_N != 0 or m % 128 != 0:
         from gfplslam_tpu.ops.hamming import hamming_matrix_xla
         return hamming_matrix_xla(a, b)
     grid = (n // TILE_N,)
@@ -54,5 +57,6 @@ def hamming_matrix_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
         out_specs=pl.BlockSpec((TILE_N, m), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.int32),
+        interpret=interpret,
     )(a, b)
     return out.astype(jnp.uint32)

@@ -55,3 +55,86 @@ def test_shard_partition_preserves_observations(rng):
     block = n_lm // 4
     pos = np.nonzero(np.asarray(sharded.po_valid))[0]
     assert np.all(po_lm // block == pos // per_obs)
+
+
+def _fabricate_map(cfg, n_kf=80, n_pt=96, rng_seed=7):
+    """A synthetic >64-KF map (poses on a noisy line + point landmarks with
+    multi-KF observations), built directly in MapState form — the global-BA
+    routing fixture (SLAMSystem.finish routes maps like this through the
+    distributed solver)."""
+    from gfplslam_tpu.models import map as map_ops
+    from gfplslam_tpu.ops import camera as cam_ops
+
+    rng = np.random.default_rng(rng_seed)
+    cam = cfg.camera
+    m = map_ops.empty_map(cfg)
+    poses = []
+    for i in range(n_kf):
+        t = np.eye(4, dtype=np.float32)
+        t[2, 3] = 0.05 * i + rng.normal(0, 2e-3)
+        t[0, 3] = rng.normal(0, 2e-3)
+        poses.append(t)
+    poses = np.stack(poses)
+    pts = np.stack([rng.uniform(-2, 2, n_pt), rng.uniform(-1.5, 1.5, n_pt),
+                    rng.uniform(6, 20, n_pt)], 1).astype(np.float32)
+
+    po_kf, po_lm, po_uv = [], [], []
+    for ki in range(n_kf):
+        t_cw = np.linalg.inv(poses[ki])
+        pc = pts @ t_cw[:3, :3].T + t_cw[:3, 3]
+        u = cam.fx * pc[:, 0] / pc[:, 2] + cam.cx
+        v = cam.fy * pc[:, 1] / pc[:, 2] + cam.cy
+        vis = (pc[:, 2] > 0.5) & (u > 0) & (u < cam.width) & (v > 0) \
+            & (v < cam.height)
+        for pi in np.nonzero(vis)[0][:24]:
+            po_kf.append(ki)
+            po_lm.append(pi)
+            po_uv.append([u[pi] + rng.normal(0, 0.3),
+                          v[pi] + rng.normal(0, 0.3)])
+    n_obs = len(po_kf)
+    cap_obs = m.po_kf.shape[0]
+    assert n_obs <= cap_obs, (n_obs, cap_obs)
+    m = m._replace(
+        kf_pose=m.kf_pose.at[:n_kf].set(jnp.asarray(poses)),
+        kf_valid=m.kf_valid.at[:n_kf].set(True),
+        n_kf=jnp.asarray(n_kf, jnp.int32),
+        pt_pos=m.pt_pos.at[:n_pt].set(jnp.asarray(pts)),
+        pt_valid=m.pt_valid.at[:n_pt].set(True),
+        pt_obs_n=m.pt_obs_n.at[:n_pt].set(n_kf),
+        po_kf=m.po_kf.at[:n_obs].set(jnp.asarray(po_kf, jnp.int32)),
+        po_lm=m.po_lm.at[:n_obs].set(jnp.asarray(po_lm, jnp.int32)),
+        po_uv=m.po_uv.at[:n_obs].set(jnp.asarray(np.asarray(po_uv),
+                                                 jnp.float32)),
+        po_valid=m.po_valid.at[:n_obs].set(True),
+    )
+    return m
+
+
+def test_global_ba_sharded_matches_dense_over_64_kfs(mesh):
+    """Global BA on a >64-KF map: the distributed landmark-sharded solve
+    must match the dense single-device solve (the routing SLAMSystem.finish
+    performs when multiple devices are present)."""
+    from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
+                                     OrbParams)
+    from gfplslam_tpu.models import ba as ba_ops
+    from gfplslam_tpu.models import map as map_ops
+
+    cfg = Config(
+        cap=CapacityParams(n_pt=256, n_ln=128, n_kf_window=4, n_kf_max=96,
+                           n_map_pt=128, n_map_ln=64,
+                           n_obs_pt=128, n_obs_ln=64),
+        orb=OrbParams(nlevels=2),
+        camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
+                            cx=183.7, cy=126.1, baseline=0.11))
+    m = _fabricate_map(cfg, n_kf=80, n_pt=96)
+    prob, w_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
+        cfg, m, global_ba=True)
+    assert int(np.asarray(prob.kf_valid).sum()) == 80
+
+    res_single = ba_ops.solve_ba(cfg.camera, prob, max_iters=6)
+    sharded = dist_ba.shard_problem_by_landmark(prob, 4)
+    res_dist = dist_ba.solve_ba_sharded(cfg.camera, sharded, mesh,
+                                        max_iters=6)
+    np.testing.assert_allclose(np.asarray(res_dist.kf_pose),
+                               np.asarray(res_single.kf_pose),
+                               rtol=1e-3, atol=1e-4)
