@@ -2,9 +2,11 @@
 
 The hot matching op of the front-end (stereo L-R and cross-frame candidate
 scoring — stereoFrame.cpp:534-557, stereoFrameHandler.cpp:477-599 in the
-reference, where it is a BFMatcher loop). Tiling: 256-row blocks of ``a``
-against the full ``b`` panel held in VMEM; XOR + popcount on the VPU,
-accumulate over descriptor words.
+reference, where it is a BFMatcher loop). Tiling: a 2D grid of
+[256, <=2048] output tiles (row block of ``a`` x column block of ``b``) so
+the accumulator stays well under the 16 MB scoped-VMEM limit even for the
+map-association shapes ([1024, 16384] OOMed with a full-``b`` panel);
+XOR + popcount on the VPU, accumulate over descriptor words.
 
 Falls back to the XLA path automatically for shapes that don't tile (see
 ``hamming.hamming_matrix``).
@@ -20,10 +22,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 256
+TILE_M_MAX = 2048
 
 
 def _hamming_kernel(a_ref, b_ref, out_ref):
-    # a_ref: [TILE_N, W] uint32; b_ref: [M, W] uint32; out: [TILE_N, M] int32
+    # a_ref: [TILE_N, W]; b_ref: [TILE_M, W]; out: [TILE_N, TILE_M] int32
     a = a_ref[:]
     b = b_ref[:]
     w = a.shape[1]
@@ -46,15 +49,19 @@ def hamming_matrix_pallas(a: jax.Array, b: jax.Array,
     if n % TILE_N != 0 or m % 128 != 0:
         from gfplslam_tpu.ops.hamming import hamming_matrix_xla
         return hamming_matrix_xla(a, b)
-    grid = (n // TILE_N,)
+    tile_m = next(t for t in (TILE_M_MAX, 1024, 512, 256, 128)
+                  if m % t == 0)
+    grid = (n // TILE_N, m // tile_m)
     out = pl.pallas_call(
         _hamming_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, w), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, w), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, m), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE_N, tile_m), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.int32),
         interpret=interpret,

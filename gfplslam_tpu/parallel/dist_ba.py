@@ -28,7 +28,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from gfplslam_tpu.config import CameraParams
 from gfplslam_tpu.models import ba as ba_ref
@@ -76,7 +79,15 @@ def shard_problem_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
         valid = np.asarray(valid)
         block = n_lm_pad // n_shards
         shard_of = np.where(valid, lm // block, n_shards)  # invalid -> tail
-        per = n_obs_pad // n_shards
+        # per-shard capacity sized to the LARGEST shard's load (rounded up
+        # for shape stability) — a uniform n_obs_pad/n_shards split silently
+        # dropped observations whenever landmark popularity was skewed,
+        # making the sharded solve diverge from the dense one
+        load = np.bincount(shard_of[shard_of < n_shards],
+                           minlength=n_shards)
+        per = max(-(-int(load.max(initial=1)) // 64) * 64,
+                  n_obs_pad // n_shards)
+        n_obs_pad = per * n_shards
         order = np.argsort(shard_of * n_obs_pad + np.arange(len(lm)),
                            kind="stable")
         out_idx = np.full(n_obs_pad, -1, np.int64)
@@ -85,9 +96,8 @@ def shard_problem_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
             s = shard_of[oi]
             if s >= n_shards:
                 continue
-            if counts[s] < per:
-                out_idx[s * per + counts[s]] = oi
-                counts[s] += 1
+            out_idx[s * per + counts[s]] = oi
+            counts[s] += 1
         ok = out_idx >= 0
         safe = np.where(ok, out_idx, 0)
         return (jnp.asarray(np.where(ok, kf[safe], 0).astype(np.int32)),
@@ -265,5 +275,5 @@ def solve_ba_sharded(cam: CameraParams, prob: BAProblem, mesh: Mesh,
                         po_inlier=po_in, lo_inlier=lo_in)
 
     fn = shard_map(local, mesh=mesh, in_specs=(in_specs,),
-                   out_specs=out_specs, check_rep=False)
+                   out_specs=out_specs, check_vma=False)
     return fn(prob)
