@@ -7,12 +7,14 @@ point) as ONE on-device ``lax.scan`` over the sequence (zero host round-trips
 per frame): steady-state VO frames per second on one chip.
 
 Also measured and reported in the same JSON line:
-- ``full_slam_fps``: tracking + the per-keyframe mapping pipeline
-  (KF insertion/data association + local BA + landmark culling + dual-BoW
-  insert + loop-candidate scoring) amortized over the measured KF cadence.
-  Mapping programs are dispatched in a pipelined loop and synced once, the
-  same way the async-mapping driver overlaps them with tracking.
-- ``kf_mapping_ms``: the per-KF mapping cost itself.
+- ``full_slam_fps``: the PIPELINED full system — per keyframe interval, the
+  tracking scan and one fused mapping program (KF association + local BA +
+  culling + dual-BoW insert + loop scoring/verification, models/mapping.py)
+  are dispatched back-to-back and synced once at the end, exactly like the
+  async-mapping driver (slam.py async_mapping=True). Mapping runs on a map
+  that GROWS across distinct keyframes, so association/BA see realistic
+  occupancy.
+- ``kf_mapping_ms``: per-KF cost of the fused mapping program alone.
 
 ``vs_baseline``: the reference publishes no fps numbers (BASELINE.md); the
 EuRoC camera rate (20 Hz) is the real-time baseline the reference claims to
@@ -33,7 +35,7 @@ def main():
     from gfplslam_tpu.models.vo import run_vo_scan
     from gfplslam_tpu.models import loop as loop_ops
     from gfplslam_tpu.models import map as map_ops
-    from gfplslam_tpu.models import ba as ba_ops
+    from gfplslam_tpu.models.mapping import mapping_step
 
     cam = CameraParams()  # EuRoC rectified 752x480
     cfg = Config(camera=cam)
@@ -61,43 +63,64 @@ def main():
     kf_interval = max(1.0, (n_frames - 1) / max(
         1, int(np.asarray(aux["is_kf"]).sum())))
 
-    # ---- per-KF mapping pipeline cost (amortized into full-SLAM fps) ----
+    # ---- fused per-KF mapping pipeline on a growing map ----
     from gfplslam_tpu.models.frame import process_stereo_pair
-    f0 = process_stereo_pair(imgs_l[0], imgs_r[0], cfg, jnp.asarray(20.0))
-    f1 = process_stereo_pair(imgs_l[1], imgs_r[1], cfg, jnp.asarray(20.0))
+    fr = [process_stereo_pair(imgs_l[i], imgs_r[i], cfg, jnp.asarray(20.0))
+          for i in range(n_frames)]
     t_rel = jnp.eye(4).at[2, 3].set(0.04)
 
-    def kf_step(m, ls, kf_idx, frame):
-        m, _ = map_ops.add_keyframe(cfg, m, frame, t_rel)
-        prob, w_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
-        res = ba_ops.solve_ba(cam, prob,
-                              lambda0=cfg.slam.lambda_lba_lm,
-                              lambda_k=cfg.slam.lambda_lba_k,
-                              max_iters=cfg.slam.max_iters_lba)
-        m = map_ops.apply_ba_result(cfg, m, res, w_ids, p_ids, l_ids)
-        m = map_ops.remove_bad_landmarks(cfg, m)
-        ls = loop_ops.insert_kf_bow(cfg, ls, kf_idx, frame)
-        cand = loop_ops.look_for_loop_candidates(cfg, ls, m.full_graph,
-                                                 kf_idx)
-        return m, ls, cand
+    m = map_ops.initialize_map(cfg, map_ops.empty_map(cfg), fr[0])
+    ls = loop_ops.insert_kf_bow(cfg, loop_ops.empty_loop_state(cfg),
+                                jnp.asarray(0), fr[0])
+    # warmup/compile + grow the map to steady occupancy over distinct KFs
+    for i in range(1, 9):
+        res = mapping_step(cfg, m, ls, fr[i], t_rel)
+        m, ls = res.map, res.loop_state
+    jax.block_until_ready(m)
 
-    m0 = map_ops.initialize_map(cfg, map_ops.empty_map(cfg), f0)
-    ls0 = loop_ops.insert_kf_bow(cfg, loop_ops.empty_loop_state(cfg),
-                                 jnp.asarray(0), f0)
-    # warmup / compile
-    m, ls, cand = kf_step(m0, ls0, jnp.asarray(1), f1)
-    cand.block_until_ready()
-
-    kf_reps = 8
+    kf_reps = 10
     t0 = time.perf_counter()
-    m, ls = m0, ls0
     for i in range(kf_reps):
-        m, ls, cand = kf_step(m, ls, jnp.asarray(1 + i), f1 if i % 2 else f0)
-    cand.block_until_ready()
+        res = mapping_step(cfg, m, ls, fr[9 + i % 15], t_rel)
+        m, ls = res.map, res.loop_state
+    jax.block_until_ready(m)
     kf_ms = (time.perf_counter() - t0) / kf_reps * 1000.0
 
-    frame_ms = 1000.0 / fps
-    full_fps = 1000.0 / (frame_ms + kf_ms / kf_interval)
+    # ---- pipelined full SLAM: tracking scan + mapping steps dispatched
+    # back-to-back (async-mapping driver pattern), one sync per rep ----
+    n_kf_per_scan = max(1, int(round((n_frames - 1) / kf_interval)))
+    t0 = time.perf_counter()
+    for r in range(reps):
+        poses, aux = run_vo_scan(cfg, imgs_l, imgs_r, ts)
+        for i in range(n_kf_per_scan):
+            res = mapping_step(cfg, m, ls,
+                               fr[(r * n_kf_per_scan + i) % (n_frames - 1) + 1],
+                               t_rel)
+            m, ls = res.map, res.loop_state
+        poses.block_until_ready()
+    jax.block_until_ready(m)
+    full_dt = time.perf_counter() - t0
+    full_fps = reps * (n_frames - 1) / full_dt
+
+    # ---- KITTI operating point (1241x376, 10 Hz camera,
+    # config/kitti/kitti00-02.yaml) — a distinct compile shape ----
+    kcam = CameraParams(width=1241, height=376, fx=718.856, fy=718.856,
+                        cx=607.1928, cy=185.2157, baseline=0.537165719)
+    kcfg = Config(camera=kcam)
+    kworld = synthetic.make_world(n_frames=12, n_points=900, n_lines=90,
+                                  seed=7, cam=kcam, motion="forward")
+    kframes = [synthetic.render_frame(kworld, i, noise=1.5)
+               for i in range(12)]
+    k_l = jnp.asarray(np.stack([f[0] for f in kframes]))
+    k_r = jnp.asarray(np.stack([f[1] for f in kframes]))
+    k_ts = jnp.asarray(kworld.timestamps.astype(np.float32))
+    kposes, _ = run_vo_scan(kcfg, k_l, k_r, k_ts)
+    kposes.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(2):
+        kposes, _ = run_vo_scan(kcfg, k_l, k_r, k_ts)
+        kposes.block_until_ready()
+    kitti_fps = 2 * 11 / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "euroc_stereo_vo_frames_per_s_per_chip",
@@ -107,6 +130,7 @@ def main():
         "full_slam_fps": round(full_fps, 3),
         "kf_mapping_ms": round(kf_ms, 3),
         "kf_interval_frames": round(kf_interval, 2),
+        "kitti_vo_fps": round(kitti_fps, 3),
     }))
 
 

@@ -12,7 +12,27 @@ the reference files (file:line) whose behavior they provide.
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Persistent XLA compilation cache: the engine's fused programs (front-end,
+# tracker, mapping pipeline) take tens of seconds to minutes to compile on a
+# TPU backend; caching them across processes makes every run after the first
+# start in milliseconds. Opt out with GFPLSLAM_NO_COMPILE_CACHE=1 or point
+# JAX_COMPILATION_CACHE_DIR elsewhere (that env var takes precedence in jax
+# itself; this default only fills in when it is unset).
+if not _os.environ.get("GFPLSLAM_NO_COMPILE_CACHE"):
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        _cache_dir = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            ".jax_cache")
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        except OSError:
+            pass
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 # Geometry/solver numerics require true fp32 matmuls. On TPU the default
 # matmul precision is bfloat16-grade, which is catastrophic for 6x6 Hessian

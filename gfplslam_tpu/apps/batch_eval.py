@@ -11,6 +11,8 @@ Usage:
       --frames 20 --repeats 2 -o /tmp/batch
   python -m gfplslam_tpu.apps.batch_eval --euroc-root /data/euroc \
       --sequences MH_01_easy MH_02_easy -o /tmp/batch
+  python -m gfplslam_tpu.apps.batch_eval --kitti-root /data/kitti/sequences \
+      --sequences 00 03 05 -o /tmp/batch
 """
 
 from __future__ import annotations
@@ -66,13 +68,18 @@ def run_synthetic(args):
 
 
 def run_dataset(args):
+    """EuRoC or KITTI batches (Run_EuRoC.py / Run_KITTI.py roles). KITTI
+    sequences pick their per-sequence calibration inside load_kitti
+    (io/datasets.py KITTI_CALIB — 3 distinct camera setups over 00-10)."""
     from gfplslam_tpu.apps.run_slam import main as run_one
     results = []
+    root = args.euroc_root or args.kitti_root
+    flag = "--euroc" if args.euroc_root else "--kitti"
     for seq in args.sequences:
-        seq_dir = os.path.join(args.euroc_root, seq)
+        seq_dir = os.path.join(root, seq)
         for rep in range(args.repeats):
             out = os.path.join(args.out, f"{seq}_r{rep}")
-            summary = run_one(["--euroc", seq_dir, "-o", out]
+            summary = run_one([flag, seq_dir, "-o", out]
                               + (["--frames", str(args.frames)]
                                  if args.frames else []))
             summary.update(sequence=seq, repeat=rep)
@@ -85,6 +92,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--euroc-root")
+    ap.add_argument("--kitti-root",
+                    help="KITTI odometry root; sequences are ids 00..10 "
+                         "(Run_KITTI.py:8-52 covers 00-10 x 3 calibrations)")
     ap.add_argument("--sequences", nargs="*", default=2)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=1)
@@ -103,6 +113,8 @@ def main(argv=None):
             args.sequences = int(args.sequences[0]) if args.sequences else 2
         results = run_synthetic(args)
     else:
+        if not (args.euroc_root or args.kitti_root):
+            ap.error("need --synthetic, --euroc-root, or --kitti-root")
         results = run_dataset(args)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(results, f, indent=1)

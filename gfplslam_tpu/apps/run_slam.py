@@ -171,6 +171,9 @@ def main(argv=None):
                     float(ate_rmse(traj[keep], gtp)), 4)
     if not args.vo_only:
         summary["loop_closures"] = engine.n_loop_closures
+        # capped-work counters (fusion candidates / KF snapshots over
+        # capacity) — surfaced so fixed-capacity compactions are never silent
+        summary["counters"] = {k: v for k, v in engine.counters.items() if v}
     print(json.dumps(summary))
     return summary
 

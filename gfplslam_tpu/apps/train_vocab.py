@@ -57,10 +57,27 @@ def kmajority(desc: np.ndarray, k: int, iters: int = 10,
     return pack_bits(centers)
 
 
+def document_frequencies(vocab: np.ndarray, docs: list) -> np.ndarray:
+    """[V] document frequencies: number of training frames whose descriptor
+    set contains each word (DBoW2 computes idf from the training corpus and
+    FREEZES it, TemplatedVocabulary.h:1066-1127 setNodeWeights)."""
+    vb = unpack_bits(vocab)
+    df = np.zeros(len(vocab), np.int64)
+    for d in docs:
+        if not len(d):
+            continue
+        bits = unpack_bits(d)
+        dist = np.count_nonzero(bits[:, None, :] != vb[None, :, :], axis=2)
+        words = np.unique(dist.argmin(1))
+        df[words] += 1
+    return df
+
+
 def harvest_descriptors(args):
     """Descriptors from several distinct synthetic worlds/motions — the
     stand-in for the reference's multi-dataset training corpus
-    (voc_all_datasets_*, config.cpp:59-60)."""
+    (voc_all_datasets_*, config.cpp:59-60). Returns flat descriptor arrays
+    plus the per-frame document lists for idf training."""
     import jax.numpy as jnp
     from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
                                      OrbParams)
@@ -84,7 +101,8 @@ def harvest_descriptors(args):
             lv = np.asarray(f.lines.valid)
             pt_desc.append(np.asarray(f.points.desc)[pv])
             ln_desc.append(np.asarray(f.lines.desc)[lv])
-    return np.concatenate(pt_desc), np.concatenate(ln_desc)
+    return (np.concatenate(pt_desc), np.concatenate(ln_desc),
+            pt_desc, ln_desc)
 
 
 def main(argv=None):
@@ -95,7 +113,7 @@ def main(argv=None):
     ap.add_argument("-o", "--out", default="vocab.npz")
     args = ap.parse_args(argv)
 
-    pt_desc, ln_desc = harvest_descriptors(args)
+    pt_desc, ln_desc, pt_docs, ln_docs = harvest_descriptors(args)
     print(f"harvested {len(pt_desc)} point / {len(ln_desc)} line descriptors")
     vp = kmajority(pt_desc, args.words)
     vl = kmajority(ln_desc, min(args.words, max(16, len(ln_desc) // 4)))
@@ -104,8 +122,15 @@ def main(argv=None):
         pad = rng.integers(0, 2 ** 32, size=(args.words - len(vl), 8),
                            dtype=np.uint32)
         vl = np.concatenate([vl, pad])
-    np.savez(args.out, vocab_p=vp, vocab_l=vl)
-    print(f"wrote {args.out}: {vp.shape} point words, {vl.shape} line words")
+    # frozen training-corpus idf (DBoW2 semantics): scores stay on one scale
+    # no matter how many KFs the online map accumulates
+    df_p = document_frequencies(vp, pt_docs)
+    df_l = document_frequencies(vl, ln_docs)
+    n_docs = len(pt_docs)
+    np.savez(args.out, vocab_p=vp, vocab_l=vl, df_p=df_p, df_l=df_l,
+             n_docs=np.asarray(n_docs))
+    print(f"wrote {args.out}: {vp.shape} point words, {vl.shape} line words, "
+          f"df over {n_docs} docs")
 
 
 if __name__ == "__main__":

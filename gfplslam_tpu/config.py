@@ -179,6 +179,7 @@ class CapacityParams:
     n_pt_match: int = 512   # cross-frame point match slots
     n_ln_match: int = 512   # cross-frame line match slots
     n_kf_window: int = 8    # local-BA keyframe window slots
+    n_kf_frozen: int = 8    # out-of-window constant-KF slots in local BA
     n_kf_max: int = 512     # total keyframe capacity (map)
     n_map_pt: int = 16384   # landmark pool: points
     n_map_ln: int = 8192    # landmark pool: lines

@@ -113,11 +113,38 @@ def _quat_to_rot(qx, qy, qz, qw):
     ])
 
 
+# Per-sequence KITTI odometry calibrations (rectified pinhole; values from
+# the reference's per-sequence YAMLs: config/kitti/kitti00-02.yaml,
+# kitti03.yaml, kitti04-10.yaml — three distinct camera setups).
+KITTI_CALIB = {
+    **{s: CameraParams(width=1241, height=376, fx=718.856, fy=718.856,
+                       cx=607.1928, cy=185.2157, baseline=0.537165719)
+       for s in ("00", "01", "02")},
+    "03": CameraParams(width=1242, height=375, fx=721.5377, fy=721.5377,
+                       cx=609.5593, cy=172.854, baseline=0.537150588),
+    **{s: CameraParams(width=1226, height=370, fx=707.0912, fy=707.0912,
+                       cx=601.8873, cy=183.1104, baseline=0.537150653)
+       for s in ("04", "05", "06", "07", "08", "09", "10")},
+}
+
+
+def kitti_camera(sequence: str) -> CameraParams:
+    """Calibration for a KITTI odometry sequence id ('00'..'10'). Raises for
+    unknown sequences instead of silently applying 00-02 intrinsics (the
+    reference selects the matching YAML per sequence, Run_KITTI.py:8-52)."""
+    seq = sequence.zfill(2)
+    if seq not in KITTI_CALIB:
+        raise ValueError(
+            f"no KITTI calibration for sequence {sequence!r}; known: "
+            f"{sorted(KITTI_CALIB)} — pass cam= explicitly for custom rigs")
+    return KITTI_CALIB[seq]
+
+
 def load_kitti(seq_dir: str, cam: Optional[CameraParams] = None
                ) -> StereoSequence:
     """KITTI odometry layout: image_0/ image_1/ (rectified grayscale),
-    times.txt. Intrinsics default to sequences 00-02
-    (config/kitti/kitti00-02.yaml)."""
+    times.txt. Intrinsics are selected per sequence id (the trailing path
+    component) from :data:`KITTI_CALIB`; pass ``cam=`` for custom rigs."""
     d0 = os.path.join(seq_dir, "image_0")
     d1 = os.path.join(seq_dir, "image_1")
     files = sorted(os.listdir(d0))
@@ -126,9 +153,7 @@ def load_kitti(seq_dir: str, cam: Optional[CameraParams] = None
         ts = np.loadtxt(times_path)
     else:
         ts = np.arange(len(files)) * 0.1
-    cam = cam or CameraParams(
-        width=1241, height=376, fx=718.856, fy=718.856,
-        cx=607.1928, cy=185.2157, baseline=0.5371657188644179)
+    cam = cam or kitti_camera(os.path.basename(os.path.normpath(seq_dir)))
     gt_poses = None
     poses_path = os.path.join(seq_dir, "poses.txt")
     if os.path.exists(poses_path):

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from gfplslam_tpu.config import CameraParams
+from gfplslam_tpu.models import ba_core
 from gfplslam_tpu.utils import se3
 
 
@@ -140,7 +141,7 @@ def _total_error(cam, t_cw, prob, pt_pos, ln_sp, ln_ep):
 @partial(jax.jit, static_argnames=("cam", "max_iters"))
 def solve_ba(cam: CameraParams, prob: BAProblem, lambda0: float = 1e-3,
              lambda_k: float = 10.0, max_iters: int = 20,
-             inlier_chi2: float = 7.815) -> BAResult:
+             inlier_chi2: float = 7.815, tol: float = 1e-5) -> BAResult:
     """LM loop with Schur-complement camera solve.
 
     lambda schedule and iteration budget mirror lambda_lba_lm/_k and
@@ -148,122 +149,53 @@ def solve_ba(cam: CameraParams, prob: BAProblem, lambda0: float = 1e-3,
     convergence, observations with robust chi2 above ``inlier_chi2`` are
     marked outliers (the reference's post-BA marking, :1714-1836).
     """
-    k = prob.kf_pose.shape[0]
-    p = prob.pt_pos.shape[0]
-    l = prob.ln_sp.shape[0]
-
     t_cw0 = jax.vmap(se3.inverse_se3)(prob.kf_pose)
 
-    def compute_step(t_cw, pt_pos, ln_sp, ln_ep, lam):
-        # --- accumulate blocks ---
-        rp, jp_pose, jp_lm, wp = _point_residuals(cam, t_cw, prob, pt_pos)
-        rl, jl_pose, jl_sp, jl_ep, wl = _line_residuals(
-            cam, t_cw, prob, ln_sp, ln_ep)
-        wp = jnp.where(prob.po_valid, wp, 0.0)
-        wl = jnp.where(prob.lo_valid, wl, 0.0)
-        # freeze observations of frozen/invalid kfs into constants
-        kf_opt = prob.kf_free & prob.kf_valid
+    # one-hot selectors + obs->constant freezing, hoisted out of the LM loop
+    sel = ba_core.make_selectors(prob)
+    kf_opt = prob.kf_free & prob.kf_valid
 
-        # Camera diag blocks Hcc [K,6,6], bc [K,6]
-        hcc = jnp.zeros((k, 6, 6)).at[prob.po_kf].add(
-            wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_pose, jp_pose))
-        hcc = hcc.at[prob.lo_kf].add(
-            wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_pose, jl_pose))
-        bc = jnp.zeros((k, 6)).at[prob.po_kf].add(
-            wp[:, None] * jnp.einsum("nri,nr->ni", jp_pose, rp))
-        bc = bc.at[prob.lo_kf].add(
-            wl[:, None] * jnp.einsum("nri,nr->ni", jl_pose, rl))
+    def build_blocks(t_cw, pt_pos, ln_sp, ln_ep):
+        bk = ba_core.build_blocks(cam, prob, sel, _point_residuals,
+                                  _line_residuals, t_cw, pt_pos, ln_sp,
+                                  ln_ep)
+        return bk, bk.err_sum / jnp.maximum(bk.err_cnt, 1.0)
 
-        # Point landmark blocks Hll [P,3,3], bl [P,3], cross Hcl [P,K,6,3]
-        hpp = jnp.zeros((p, 3, 3)).at[prob.po_lm].add(
-            wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_lm, jp_lm))
-        bp = jnp.zeros((p, 3)).at[prob.po_lm].add(
-            wp[:, None] * jnp.einsum("nri,nr->ni", jp_lm, rp))
-        hcl_p = jnp.zeros((p, k, 6, 3)).at[prob.po_lm, prob.po_kf].add(
-            wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_pose, jp_lm))
-
-        # Line landmark blocks: 6-dof endpoints [L,6,6]
-        jl_lm = jnp.concatenate([jl_sp, jl_ep], axis=-1)   # [Ol,2,6]
-        hll = jnp.zeros((l, 6, 6)).at[prob.lo_lm].add(
-            wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_lm, jl_lm))
-        bl = jnp.zeros((l, 6)).at[prob.lo_lm].add(
-            wl[:, None] * jnp.einsum("nri,nr->ni", jl_lm, rl))
-        hcl_l = jnp.zeros((l, k, 6, 6)).at[prob.lo_lm, prob.lo_kf].add(
-            wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_pose, jl_lm))
-
-        # --- damp + invert landmark blocks ---
-        eye3 = jnp.eye(3)
-        eye6 = jnp.eye(6)
-        hpp_d = hpp + lam * jax.vmap(jnp.diag)(
-            jnp.maximum(jax.vmap(jnp.diagonal)(hpp), 1e-6))
-        hll_d = hll + lam * jax.vmap(jnp.diag)(
-            jnp.maximum(jax.vmap(jnp.diagonal)(hll), 1e-6))
-        # guard empty landmarks
-        pt_act = prob.pt_valid & (jax.vmap(jnp.trace)(hpp) > 1e-9)
-        ln_act = prob.ln_valid & (jax.vmap(jnp.trace)(hll) > 1e-9)
-        hpp_inv = jnp.linalg.inv(
-            jnp.where(pt_act[:, None, None], hpp_d, eye3[None]))
-        hll_inv = jnp.linalg.inv(
-            jnp.where(ln_act[:, None, None], hll_d, eye6[None]))
-        hpp_inv = jnp.where(pt_act[:, None, None], hpp_inv, 0.0)
-        hll_inv = jnp.where(ln_act[:, None, None], hll_inv, 0.0)
-
-        # --- Schur complement on cameras ---
-        # S = Hcc - sum_lm Hcl Hll^-1 Hlc ; rhs = bc - sum_lm Hcl Hll^-1 bl
-        s_red_p = jnp.einsum("pkil,plm,pqjm->kiqj", hcl_p, hpp_inv, hcl_p)
-        s_red_l = jnp.einsum("pkil,plm,pqjm->kiqj", hcl_l, hll_inv, hcl_l)
-        s_full = (_block_diag_embed(hcc) - s_red_p.reshape(6 * k, 6 * k)
-                  - s_red_l.reshape(6 * k, 6 * k))
-        rhs = (bc - jnp.einsum("pkil,plm,pm->ki", hcl_p, hpp_inv, bp)
-               - jnp.einsum("pkil,plm,pm->ki", hcl_l, hll_inv, bl))
-
-        # damp cameras + freeze non-optimized ones via unit rows/cols
-        diag_mask = jnp.repeat(kf_opt, 6)
-        s_full = s_full + lam * jnp.diag(jnp.maximum(jnp.diagonal(s_full), 1e-6))
-        s_full = jnp.where(diag_mask[:, None] & diag_mask[None, :], s_full, 0.0)
-        s_full = s_full + jnp.diag(jnp.where(diag_mask, 0.0, 1.0))
-        rhs_f = jnp.where(diag_mask, rhs.reshape(-1), 0.0)
-        dx_cam = jnp.linalg.solve(
-            s_full + 1e-10 * jnp.eye(6 * k), rhs_f).reshape(k, 6)
-        dx_cam = jnp.where(kf_opt[:, None], dx_cam, 0.0)
-
-        # --- back-substitute landmarks ---
-        # Hll dxl = bl - Hlc dxc
-        hlc_dc_p = jnp.einsum("pkil,ki->pl", hcl_p, dx_cam)
-        dx_pt = jnp.einsum("plm,pm->pl", hpp_inv, bp - hlc_dc_p)
-        hlc_dc_l = jnp.einsum("pkil,ki->pl", hcl_l, dx_cam)
-        dx_ln = jnp.einsum("plm,pm->pl", hll_inv, bl - hlc_dc_l)
-
-        # --- apply (GN direction is -dx since b = J^T r) ---
-        t_cw_new = jax.vmap(lambda t, d: se3.expmap_se3(-d) @ t)(t_cw, dx_cam)
-        pt_new = pt_pos - jnp.where(pt_act[:, None], dx_pt, 0.0)
-        ln_sp_new = ln_sp - jnp.where(ln_act[:, None], dx_ln[:, :3], 0.0)
-        ln_ep_new = ln_ep - jnp.where(ln_act[:, None], dx_ln[:, 3:], 0.0)
-        return t_cw_new, pt_new, ln_sp_new, ln_ep_new
+    def solve_with_lam(bk, t_cw, pt_pos, ln_sp, ln_ep, lam):
+        """Damped Schur solve + retraction from precomputed blocks (the only
+        lambda-dependent part of an LM iteration)."""
+        hpp_inv, hll_inv = ba_core.landmark_inverses(bk, lam)
+        s_full, rhs = ba_core.schur_reduce(bk, hpp_inv, hll_inv)
+        dx_cam = ba_core.camera_solve(s_full, rhs, kf_opt, lam)
+        dx_pt, dx_ln = ba_core.back_substitute(bk, hpp_inv, hll_inv, dx_cam)
+        return ba_core.retract(bk, t_cw, pt_pos, ln_sp, ln_ep,
+                               dx_cam, dx_pt, dx_ln)
 
     def cond(carry):
-        _, _, _, _, lam, err, it, done = carry
+        _, _, _, _, it, done = carry
         return (it < max_iters) & jnp.logical_not(done)
 
     def body(carry):
-        t_cw, pt, lsp, lep, lam, err, it, _ = carry
-        cand = compute_step(t_cw, pt, lsp, lep, lam)
-        new_err = _total_error(cam, cand[0], prob, cand[1], cand[2], cand[3])
+        x, bk, lam, err, it, _ = carry
+        cand = solve_with_lam(bk, *x, lam)
+        bk_cand, new_err = build_blocks(*cand)
         improve = new_err < err
         # lambda schedule (:1661-1678)
         lam_next = jnp.where(improve, lam / lambda_k, lam * lambda_k)
-        out = tuple(jnp.where(improve, c, o) for c, o in
-                    zip(cand, (t_cw, pt, lsp, lep)))
+        x_next = tuple(jnp.where(improve, c, o) for c, o in zip(cand, x))
+        bk_next = jax.tree.map(lambda c, o: jnp.where(improve, c, o),
+                               bk_cand, bk)
         err_next = jnp.where(improve, new_err, err)
-        done = improve & (jnp.abs(err - new_err) < 1e-9 * jnp.maximum(err, 1.0))
-        return (*out, lam_next, err_next, it + 1, done)
+        done = improve & (err - new_err < tol * jnp.maximum(new_err, 1e-12))
+        return (x_next, bk_next, lam_next, err_next, it + 1, done)
 
-    err0 = _total_error(cam, t_cw0, prob, prob.pt_pos, prob.ln_sp, prob.ln_ep)
-    t_cw, pt_pos, ln_sp, ln_ep, _, err, iters, _ = jax.lax.while_loop(
+    bk0, err0 = build_blocks(t_cw0, prob.pt_pos, prob.ln_sp, prob.ln_ep)
+    x_fin, _, _, err, iters, _ = jax.lax.while_loop(
         cond, body,
-        (t_cw0, prob.pt_pos, prob.ln_sp, prob.ln_ep,
+        ((t_cw0, prob.pt_pos, prob.ln_sp, prob.ln_ep), bk0,
          jnp.asarray(lambda0), err0, jnp.asarray(0, jnp.int32),
          jnp.asarray(False)))
+    t_cw, pt_pos, ln_sp, ln_ep = x_fin
 
     # post-BA outlier marking by chi2 (:1714-1836)
     rp, _, _, _ = _point_residuals(cam, t_cw, prob, pt_pos)
@@ -276,10 +208,5 @@ def solve_ba(cam: CameraParams, prob: BAProblem, lambda0: float = 1e-3,
                     err=err, iters=iters, po_inlier=po_in, lo_inlier=lo_in)
 
 
-def _block_diag_embed(blocks: jax.Array) -> jax.Array:
-    """[K,6,6] -> [6K,6K] block diagonal."""
-    k = blocks.shape[0]
-    out = jnp.zeros((k, 6, k, 6))
-    idx = jnp.arange(k)
-    out = out.at[idx, :, idx, :].set(blocks)
-    return out.reshape(6 * k, 6 * k)
+# re-exported for callers that assemble their own reduced systems
+_block_diag_embed = ba_core.block_diag_embed

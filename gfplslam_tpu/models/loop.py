@@ -64,10 +64,14 @@ VOCAB_SOURCE = "random-anchors"
 
 _TRAINED_P = None
 _TRAINED_L = None
+_TRAINED_DF_P = None   # frozen training-corpus document frequencies
+_TRAINED_DF_L = None
+_TRAINED_NDOCS = None
 
 
 def _load_default_vocab() -> None:
     global _TRAINED_P, _TRAINED_L, VOCAB_SOURCE
+    global _TRAINED_DF_P, _TRAINED_DF_L, _TRAINED_NDOCS
     import os
     path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                         "data", "vocab_synth.npz")
@@ -75,6 +79,10 @@ def _load_default_vocab() -> None:
         data = np.load(path)
         _TRAINED_P = np.asarray(data["vocab_p"], np.uint32)
         _TRAINED_L = np.asarray(data["vocab_l"], np.uint32)
+        if "df_p" in data:
+            _TRAINED_DF_P = np.asarray(data["df_p"], np.float32)
+            _TRAINED_DF_L = np.asarray(data["df_l"], np.float32)
+            _TRAINED_NDOCS = float(data["n_docs"])
         VOCAB_SOURCE = path
 
 
@@ -88,21 +96,48 @@ def active_vocab(vocab_k: int) -> tuple[np.ndarray, np.ndarray]:
     return _VOCAB_P_FULL[:vocab_k], _VOCAB_L_FULL[:vocab_k]
 
 
-def set_vocab(vocab_p: np.ndarray, vocab_l: np.ndarray) -> None:
+def active_idf(vocab_k: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """Frozen training-corpus idf vectors [(V,), (V,)], or None when no
+    trained document frequencies are available for this vocabulary size.
+
+    DBoW2 computes word weights once from the training corpus and never
+    updates them online (TemplatedVocabulary.h:1066-1127), which keeps every
+    conf-matrix row on the same scale regardless of when it was computed;
+    online-df scoring drifts across epochs as the map grows."""
+    if (_TRAINED_P is not None and _TRAINED_P.shape[0] == vocab_k
+            and _TRAINED_DF_P is not None):
+        idf_p = np.log((_TRAINED_NDOCS + 1.0) / (_TRAINED_DF_P + 1.0))
+        idf_l = np.log((_TRAINED_NDOCS + 1.0) / (_TRAINED_DF_L + 1.0))
+        return idf_p.astype(np.float32), idf_l.astype(np.float32)
+    return None
+
+
+def set_vocab(vocab_p: np.ndarray, vocab_l: np.ndarray,
+              df_p: np.ndarray = None, df_l: np.ndarray = None,
+              n_docs: float = None) -> None:
     """Install trained vocabularies (apps/train_vocab.py output) in place of
     the default random anchors — the analog of loading the reference's
     pre-trained .yml files (config.cpp:59-60). Active only for configs whose
-    ``vocab_k`` equals the trained word count (see :func:`active_vocab`)."""
+    ``vocab_k`` equals the trained word count (see :func:`active_vocab`).
+    Optional ``df_p/df_l/n_docs`` freeze the idf at the trained values."""
     global _TRAINED_P, _TRAINED_L, VOCAB_SOURCE
+    global _TRAINED_DF_P, _TRAINED_DF_L, _TRAINED_NDOCS
     _TRAINED_P = np.asarray(vocab_p, np.uint32)
     _TRAINED_L = np.asarray(vocab_l, np.uint32)
+    _TRAINED_DF_P = (np.asarray(df_p, np.float32)
+                     if df_p is not None else None)
+    _TRAINED_DF_L = (np.asarray(df_l, np.float32)
+                     if df_l is not None else None)
+    _TRAINED_NDOCS = float(n_docs) if n_docs is not None else None
     VOCAB_SOURCE = "set_vocab()"
     insert_kf_bow.clear_cache()
 
 
 def load_vocab(path: str) -> None:
     data = np.load(path)
-    set_vocab(data["vocab_p"], data["vocab_l"])
+    set_vocab(data["vocab_p"], data["vocab_l"],
+              df_p=data.get("df_p"), df_l=data.get("df_l"),
+              n_docs=data.get("n_docs"))
 
 
 _load_default_vocab()
@@ -132,6 +167,9 @@ class LoopState(NamedTuple):
     ln_desc: jax.Array    # [K, N_KF_LN, 8]
     ln_sigma2: jax.Array  # [K, N_KF_LN]
     ln_valid: jax.Array   # [K, N_KF_LN]
+    # features beyond the per-KF snapshot capacity (N_KF_PT/N_KF_LN),
+    # accumulated so the cap is observable (no silent caps)
+    n_snapshot_dropped: jax.Array  # int32
 
 
 def empty_loop_state(cfg: Config) -> LoopState:
@@ -152,7 +190,8 @@ def empty_loop_state(cfg: Config) -> LoopState:
         ln_le=jnp.zeros((k, N_KF_LN, 3)),
         ln_desc=jnp.zeros((k, N_KF_LN, 8), jnp.uint32),
         ln_sigma2=jnp.ones((k, N_KF_LN)),
-        ln_valid=jnp.zeros((k, N_KF_LN), bool))
+        ln_valid=jnp.zeros((k, N_KF_LN), bool),
+        n_snapshot_dropped=jnp.asarray(0, jnp.int32))
 
 
 def bow_vector(desc: jax.Array, valid: jax.Array, vocab: jax.Array
@@ -166,12 +205,17 @@ def bow_vector(desc: jax.Array, valid: jax.Array, vocab: jax.Array
     return jnp.zeros(vocab.shape[0]).at[word].add(valid.astype(jnp.float32))
 
 
+def _weighted_normalize(tf: jax.Array, idf: jax.Array) -> jax.Array:
+    """Apply idf word weights + L1 normalize ([K?, V] tf)."""
+    v = tf * idf
+    return v / jnp.maximum(jnp.sum(jnp.abs(v), axis=-1, keepdims=True), 1e-9)
+
+
 def _idf_normalize(tf: jax.Array, df: jax.Array, n_docs: jax.Array
                    ) -> jax.Array:
     """tf-idf weight + L1 normalize ([K?, V] tf against shared df)."""
     idf = jnp.log((n_docs + 1.0) / (df.astype(jnp.float32) + 1.0))
-    v = tf * idf
-    return v / jnp.maximum(jnp.sum(jnp.abs(v), axis=-1, keepdims=True), 1e-9)
+    return _weighted_normalize(tf, idf)
 
 
 def l1_score(v1: jax.Array, v2: jax.Array) -> jax.Array:
@@ -216,10 +260,20 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     df_p = ls.df_p + (bow_p > 0)
     df_l = ls.df_l + (bow_l > 0)
     n_docs = ls.n_docs + 1
-    sp = l1_score(_idf_normalize(bow_p[None], df_p, n_docs),
-                  _idf_normalize(ls.bow_p, df_p, n_docs))     # [K]
-    sl = l1_score(_idf_normalize(bow_l[None], df_l, n_docs),
-                  _idf_normalize(ls.bow_l, df_l, n_docs))
+    idf = active_idf(cfg.cap.vocab_k)
+    if idf is not None:
+        # frozen training-corpus idf (DBoW2 setNodeWeights semantics):
+        # scores are epoch-consistent however many KFs accumulate
+        sp = l1_score(_weighted_normalize(bow_p[None], jnp.asarray(idf[0])),
+                      _weighted_normalize(ls.bow_p, jnp.asarray(idf[0])))
+        sl = l1_score(_weighted_normalize(bow_l[None], jnp.asarray(idf[1])),
+                      _weighted_normalize(ls.bow_l, jnp.asarray(idf[1])))
+    else:
+        # online-df fallback (untrained/random-anchor vocabularies)
+        sp = l1_score(_idf_normalize(bow_p[None], df_p, n_docs),
+                      _idf_normalize(ls.bow_p, df_p, n_docs))     # [K]
+        sl = l1_score(_idf_normalize(bow_l[None], df_l, n_docs),
+                      _idf_normalize(ls.bow_l, df_l, n_docs))
     n_pl = jnp.maximum(n_pt + n_ln, 1)
     std_pl = jnp.maximum(std_pt + std_ln, 1e-9)
     score = ((sp * n_pt + sl * n_ln) / n_pl
@@ -253,7 +307,10 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
         ln_le=ls.ln_le.at[kf_idx].set(le),
         ln_desc=ls.ln_desc.at[kf_idx].set(dl),
         ln_sigma2=ls.ln_sigma2.at[kf_idx].set(s2l),
-        ln_valid=ls.ln_valid.at[kf_idx].set(ok_l))
+        ln_valid=ls.ln_valid.at[kf_idx].set(ok_l),
+        n_snapshot_dropped=(ls.n_snapshot_dropped
+                            + jnp.maximum(n_pt - N_KF_PT, 0)
+                            + jnp.maximum(n_ln - N_KF_LN, 0)))
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -187,7 +187,11 @@ def _match_frame_to_map(cfg: Config, m: MapState, frame: StereoFrame,
         cam, jax.vmap(lambda x: t_cw[:3, :3] @ x + t_cw[:3, 3])(m.pt_pos))
     pd = jnp.linalg.norm(f.xy[:, None, :] - proj[None, :, :], axis=-1)
     big = jnp.float32(1 << 16)
-    d = jnp.where(pd * pd < CHI2_2DOF, d, big)
+    # chi2(0.95, 2dof) gate on the SIGMA-NORMALIZED reprojection distance
+    # (mapHandler.cpp:265 applies sqrt(7.815) to best_d_sigma): f.sigma2 is
+    # the per-octave inverse variance, so higher-octave (blurrier) features
+    # pass at the same confidence as level-0 instead of being over-rejected.
+    d = jnp.where(pd * pd * f.sigma2[:, None] < CHI2_2DOF, d, big)
     mm = match_ops.Matches(
         idx=jnp.argmin(d, 1),
         dist=jnp.min(d, 1),
@@ -209,7 +213,11 @@ def _match_frame_to_map(cfg: Config, m: MapState, frame: StereoFrame,
         return jnp.abs(le[0] * p[0] + le[1] * p[1] + le[2])
     dist_s = jax.vmap(lambda le: jax.vmap(lambda p: pt_line_d(p, le))(sp2))(fl.le)
     dist_e = jax.vmap(lambda le: jax.vmap(lambda p: pt_line_d(p, le))(ep2))(fl.le)
-    geom_ok = (dist_s * dist_s + dist_e * dist_e) < 2 * CHI2_2DOF
+    # sigma-normalized two-endpoint gate (mapHandler.cpp:403: the line
+    # residual is the endpoint-to-line distance pair, chi2 with 2 dof per
+    # endpoint)
+    geom_ok = ((dist_s * dist_s + dist_e * dist_e) * fl.sigma2[:, None]
+               < 2 * CHI2_2DOF)
     dl = jnp.where(geom_ok, dl, big)
     lm_m = match_ops.Matches(
         idx=jnp.argmin(dl, 1), dist=jnp.min(dl, 1),
@@ -456,12 +464,16 @@ def _fuse_pool(desc, pos, valid, last_kf, obs_n, obs_lm, obs_kf, obs_valid,
     case; its one-sided cases are subsumed because every feature here is
     already a landmark). Returns (remap [P], keep_valid [P], occA, occB
     [n, K] fused-pair KF occupancy for covisibility increments, merged_mask
-    [n]) with n = min(N_FUSE, P)."""
+    [n], n_over_cap) with n = min(N_FUSE, P); ``n_over_cap`` counts
+    candidates that did not fit the compaction (no silent caps — callers
+    surface it)."""
     p = desc.shape[0]
     n = min(N_FUSE, p)
     ids = jnp.arange(p)
     side_a = valid & (last_kf >= kf_prev - near) & (last_kf <= kf_prev + near)
     side_b = valid & (last_kf >= kf_curr - near) & ~side_a
+    n_over_cap = (jnp.maximum(jnp.sum(side_a) - n, 0)
+                  + jnp.maximum(jnp.sum(side_b) - n, 0))
     # compact each side to n slots by recency (most recent last_kf first;
     # landmark id breaks ties so the packed key stays unique)
     key_a = jnp.where(side_a, last_kf * p + ids, -1)
@@ -516,7 +528,7 @@ def _fuse_pool(desc, pos, valid, last_kf, obs_n, obs_lm, obs_kf, obs_valid,
     occ_b = jnp.zeros(n * k, jnp.float32).at[
         jnp.where(row_b < n, row_b * k + obs_kf, n * k)
     ].max(1.0, mode="drop").reshape(n, k)
-    return remap, keep_valid, obs_n, last_kf, occ_a, occ_b, merged
+    return remap, keep_valid, obs_n, last_kf, occ_a, occ_b, merged, n_over_cap
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -527,17 +539,19 @@ def fuse_loop_landmarks(cfg: Config, m: MapState, kf_prev: jax.Array,
     correction the two loop ends overlap, so landmarks re-observed under new
     ids are fused back, observation tables are redirected, and the
     covisibility graph gains the cross-loop counts that make subsequent
-    local maps span the junction. Returns (map, n_fused)."""
+    local maps span the junction. Returns (map, n_fused, n_over_cap) —
+    ``n_over_cap`` counts fusion candidates beyond the N_FUSE compaction
+    (emitted so the cap is never silent)."""
     near = jnp.asarray(cfg.slam.min_kf_local_map + 3, jnp.int32)
     fuse_r = cfg.slam.max_lm_3d_err
     k = m.full_graph.shape[0]
 
     (remap_p, pt_valid, pt_obs_n, pt_last_kf,
-     occ_ap, occ_bp, merged_p) = _fuse_pool(
+     occ_ap, occ_bp, merged_p, over_p) = _fuse_pool(
         m.pt_desc, m.pt_pos, m.pt_valid, m.pt_last_kf, m.pt_obs_n,
         m.po_lm, m.po_kf, m.po_valid, kf_prev, kf_curr, near, fuse_r, k)
     (remap_l, ln_valid, ln_obs_n, ln_last_kf,
-     occ_al, occ_bl, merged_l) = _fuse_pool(
+     occ_al, occ_bl, merged_l, over_l) = _fuse_pool(
         m.ln_desc, 0.5 * (m.ln_sp + m.ln_ep), m.ln_valid, m.ln_last_kf,
         m.ln_obs_n, m.lo_lm, m.lo_kf, m.lo_valid, kf_prev, kf_curr, near,
         fuse_r, k)
@@ -551,7 +565,7 @@ def fuse_loop_landmarks(cfg: Config, m: MapState, kf_prev: jax.Array,
         ln_valid=ln_valid, ln_obs_n=ln_obs_n, ln_last_kf=ln_last_kf,
         lo_lm=remap_l[m.lo_lm],
         full_graph=m.full_graph + incr.astype(jnp.int32))
-    return m, n_fused
+    return m, n_fused, over_p + over_l
 
 
 @partial(jax.jit, static_argnames=("cfg", "window", "global_ba"))
@@ -609,27 +623,53 @@ def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
     ln2slot = jnp.full(m.ln_sp.shape[0], -1, jnp.int32).at[l_safe].set(
         jnp.where(l_ok, jnp.arange(lw, dtype=jnp.int32), -1), mode="drop")
 
-    # observation selection: kf in window AND lm in window
+    # gauge: the oldest window KF is frozen (:1119)
+    first_slot = jnp.argmax(win_ok)  # first valid slot
+    kf_free = win_ok & (jnp.arange(kw) != first_slot)
+
+    if not global_ba and cap.n_kf_frozen > 0:
+        # out-of-window KFs that observe window landmarks enter as FROZEN
+        # constants (the reference keeps non-local KFs' observations with
+        # kf_idx_loc == -1, i.e. constant poses, mapHandler.cpp:1299-1304)
+        # so the window solve cannot drag shared landmarks off their
+        # older-KF evidence. Most recent such KFs fill the frozen slots.
+        kwf = cap.n_kf_frozen
+        po_out = m.po_valid & (kf2slot[m.po_kf] < 0) & (pt2slot[m.po_lm] >= 0)
+        lo_out = m.lo_valid & (kf2slot[m.lo_kf] < 0) & (ln2slot[m.lo_lm] >= 0)
+        kf_has_out = (jnp.zeros(k, bool)
+                      .at[m.po_kf].max(po_out, mode="drop")
+                      .at[m.lo_kf].max(lo_out, mode="drop"))
+        fr_key = jnp.where(kf_has_out & m.kf_valid, ids, -1)
+        fr_ids = jax.lax.top_k(fr_key, kwf)[0]
+        fr_ok = fr_ids >= 0
+        kf2slot = kf2slot.at[jnp.where(fr_ok, fr_ids, k)].set(
+            jnp.where(fr_ok, kw + jnp.arange(kwf, dtype=jnp.int32), -1),
+            mode="drop")
+        win_ids = jnp.concatenate([win_ids, fr_ids])
+        win_ok = jnp.concatenate([win_ok, fr_ok])
+        win_ids_safe = jnp.where(win_ok, win_ids, 0)
+        kf_free = jnp.concatenate([kf_free, jnp.zeros(kwf, bool)])
+
+    # observation selection: kf in window (free or frozen) AND lm in window
     po_sel = m.po_valid & (kf2slot[m.po_kf] >= 0) & (pt2slot[m.po_lm] >= 0)
     lo_sel = m.lo_valid & (kf2slot[m.lo_kf] >= 0) & (ln2slot[m.lo_lm] >= 0)
     if global_ba:  # the whole observation ring participates
         op, ol = m.po_kf.shape[0], m.lo_kf.shape[0]
     else:
         op, ol = cap.n_obs_pt, cap.n_obs_ln
+    # rank free-window observations above frozen-KF observations so anchors
+    # never crowd the window's own evidence out of the padded slots
+    n_po, n_lo = m.po_kf.shape[0], m.lo_kf.shape[0]
+    po_pri = (kf2slot[m.po_kf] < kw).astype(jnp.int32)
+    lo_pri = (kf2slot[m.lo_kf] < kw).astype(jnp.int32)
     po_rank = jax.lax.top_k(
-        jnp.where(po_sel, jnp.arange(m.po_kf.shape[0]), -1), op)[0]
+        jnp.where(po_sel, po_pri * n_po + jnp.arange(n_po), -1), op)[0]
     lo_rank = jax.lax.top_k(
-        jnp.where(lo_sel, jnp.arange(m.lo_kf.shape[0]), -1), ol)[0]
+        jnp.where(lo_sel, lo_pri * n_lo + jnp.arange(n_lo), -1), ol)[0]
     po_ok = po_rank >= 0
     lo_ok = lo_rank >= 0
-    po_i = jnp.where(po_ok, po_rank, 0)
-    lo_i = jnp.where(lo_ok, lo_rank, 0)
-
-    # gauge: the oldest window KF is frozen (:1119); frames outside the
-    # window appear only through frozen landmarks, like the reference's
-    # constant non-local KFs (:1299-1304)
-    first_slot = jnp.argmax(win_ok)  # first valid slot
-    kf_free = win_ok & (jnp.arange(kw) != first_slot)
+    po_i = jnp.where(po_ok, po_rank % n_po, 0)
+    lo_i = jnp.where(lo_ok, lo_rank % n_lo, 0)
 
     prob = BAProblem(
         kf_pose=m.kf_pose[win_ids_safe],

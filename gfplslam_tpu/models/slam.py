@@ -20,6 +20,7 @@ from gfplslam_tpu.config import Config
 from gfplslam_tpu.models import ba as ba_ops
 from gfplslam_tpu.models import loop as loop_ops
 from gfplslam_tpu.models import map as map_ops
+from gfplslam_tpu.models import mapping
 from gfplslam_tpu.models.vo import VisualOdometry
 
 LC_IDLE, LC_ACTIVE, LC_READY = 0, 1, 2
@@ -55,6 +56,8 @@ class SLAMSystem:
     n_fused_landmarks: int = 0
     kf_frame_ids: list = field(default_factory=list)
     kf_timestamps: list = field(default_factory=list)
+    # observability counters (capped-work events that must not be silent)
+    counters: dict = field(default_factory=dict)
     # async-mapping deferred results: (kf_idx, cand_dev, ver_dev) awaiting
     # harvest at the next KF boundary
     _deferred: tuple = None
@@ -84,38 +87,34 @@ class SLAMSystem:
                 self._harvest_deferred()
             if kf_idx == 0:
                 self.map = map_ops.initialize_map(self.cfg, self.map, frame)
+                self.loop_state = loop_ops.insert_kf_bow(
+                    self.cfg, self.loop_state, jnp.asarray(kf_idx), frame)
             else:
                 # VO relative motion KF_{k-1} -> KF_k only; the map composes
                 # it onto the *optimized* previous KF pose
-                # (T_kf_w = T_prev_w * T_rel, mapHandler.cpp:126-128)
+                # (T_kf_w = T_prev_w * T_rel, mapHandler.cpp:126-128).
+                # The whole per-KF mapping pipeline (association + local BA
+                # + culling + BoW + LC scoring/verification) is ONE fused
+                # device program (models/mapping.py).
                 t_rel = self.vo.last_kf_rel
-                self.map, _ = map_ops.add_keyframe(
-                    self.cfg, self.map, frame, jnp.asarray(
-                        t_rel.astype(np.float32)))
-                if self.run_local_ba:
-                    self._local_ba()
-                self.map = map_ops.remove_bad_landmarks(self.cfg, self.map)
-                if self.cull_redundant_kfs:
-                    self.map, _ = map_ops.remove_redundant_kfs(
-                        self.cfg, self.map)
-            self.loop_state = loop_ops.insert_kf_bow(
-                self.cfg, self.loop_state, jnp.asarray(kf_idx), frame)
+                res = mapping.mapping_step(
+                    self.cfg, self.map, self.loop_state, frame,
+                    jnp.asarray(t_rel.astype(np.float32)),
+                    run_ba=self.run_local_ba,
+                    run_lc=self.run_loop_closure,
+                    cull_redundant=self.cull_redundant_kfs)
+                self.map = res.map
+                self.loop_state = res.loop_state
+                if self.run_loop_closure:
+                    if self.async_mapping:
+                        # decisions harvested at the next KF boundary
+                        self._deferred = (kf_idx, res.cand, res.verification)
+                    else:
+                        self._lc_decide(int(res.cand), res.verification,
+                                        kf_idx)
             self.kf_frame_ids.append(self.vo.frame_idx - 1)
             self.kf_timestamps.append(timestamp)
             self._n_kf_host = kf_idx + 1
-            if self.run_loop_closure and kf_idx > 0:
-                if self.async_mapping:
-                    # dispatch candidate scoring + verification on device
-                    # without forcing; decisions harvested at the next KF
-                    cand = loop_ops.look_for_loop_candidates(
-                        self.cfg, self.loop_state, self.map.full_graph,
-                        jnp.asarray(kf_idx))
-                    ver = loop_ops.verify_loop(
-                        self.cfg, self.loop_state,
-                        jnp.maximum(cand, 0), jnp.asarray(kf_idx))
-                    self._deferred = (kf_idx, cand, ver)
-                else:
-                    self._loop_closure_step(kf_idx)
             if not self.async_mapping:
                 # feed the corrected map pose back to the tracker so
                 # subsequent frames ride the optimized map
@@ -136,32 +135,6 @@ class SLAMSystem:
     # ------------------------------------------------------------------
     def kf_pose_world(self, kf_idx: int) -> np.ndarray:
         return np.asarray(self.map.kf_pose[kf_idx])
-
-    def _local_ba(self):
-        prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
-            self.cfg, self.map)
-        res = ba_ops.solve_ba(self.cfg.camera, prob,
-                              lambda0=self.cfg.slam.lambda_lba_lm,
-                              lambda_k=self.cfg.slam.lambda_lba_k,
-                              max_iters=self.cfg.slam.max_iters_lba)
-        self.map = map_ops.apply_ba_result(self.cfg, self.map, res,
-                                           win_ids, p_ids, l_ids)
-
-    def _loop_closure_step(self, kf_curr: int):
-        """lookForLoopCandidates -> isLoopClosure -> state machine
-        (loopClosure, mapHandler.cpp:2801-2861): verified constraints
-        accumulate while the revisit lasts (LC_ACTIVE); when the candidate
-        stream dries up or fails verification, the machine goes LC_READY and
-        the accumulated constraints are solved in one pose-graph pass."""
-        cand = int(loop_ops.look_for_loop_candidates(
-            self.cfg, self.loop_state, self.map.full_graph,
-            jnp.asarray(kf_curr)))
-        ver = None
-        if cand >= 0:
-            ver = loop_ops.verify_loop(self.cfg, self.loop_state,
-                                       jnp.asarray(cand),
-                                       jnp.asarray(kf_curr))
-        self._lc_decide(cand, ver, kf_curr)
 
     def _lc_decide(self, cand: int, ver, kf_curr: int):
         """The host-side LC state machine on computed candidate/verification
@@ -219,9 +192,12 @@ class SLAMSystem:
                               ln_sp=ln_sp, ln_ep=ln_ep)
         # merge duplicate landmarks across the junction
         # (loopClosureFuseLandmarks, mapHandler.cpp:4425-4714)
-        self.map, n_fused = map_ops.fuse_loop_landmarks(
+        self.map, n_fused, n_over = map_ops.fuse_loop_landmarks(
             self.cfg, self.map, jnp.asarray(kf_prev), jnp.asarray(kf_curr))
         self.n_fused_landmarks += int(n_fused)
+        # no silent caps: surface candidates the N_FUSE compaction dropped
+        self.counters["fuse_candidates_over_cap"] = (
+            self.counters.get("fuse_candidates_over_cap", 0) + int(n_over))
         self.n_loop_closures += 1
         self.lc_pending = []
         self.lc_status = LC_IDLE
@@ -241,6 +217,8 @@ class SLAMSystem:
             self._harvest_deferred()
         if self.lc_pending:
             self._close_loop()
+        self.counters["snapshot_features_over_cap"] = int(
+            self.loop_state.n_snapshot_dropped)
         if run_global_ba and int(self.map.n_kf) >= 2:
             import jax
             prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(

@@ -35,6 +35,7 @@ except ImportError:  # pragma: no cover - older jax
 
 from gfplslam_tpu.config import CameraParams
 from gfplslam_tpu.models import ba as ba_ref
+from gfplslam_tpu.models import ba_core
 from gfplslam_tpu.models.ba import BAProblem, BAResult
 from gfplslam_tpu.utils import se3
 
@@ -121,7 +122,7 @@ def shard_problem_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
 @partial(jax.jit, static_argnames=("cam", "mesh", "max_iters"))
 def solve_ba_sharded(cam: CameraParams, prob: BAProblem, mesh: Mesh,
                      lambda0: float = 1e-3, lambda_k: float = 10.0,
-                     max_iters: int = 20) -> BAResult:
+                     max_iters: int = 20, tol: float = 1e-5) -> BAResult:
     """Landmark-sharded LM solve. ``prob`` must be pre-partitioned with
     :func:`shard_problem_by_landmark` for ``mesh`` size."""
     axis = mesh.axis_names[0]
@@ -154,117 +155,56 @@ def solve_ba_sharded(cam: CameraParams, prob: BAProblem, mesh: Mesh,
         lp = local_prob
 
         t_cw0 = jax.vmap(se3.inverse_se3)(lp.kf_pose)
+        sel = ba_core.make_selectors(lp)
+        kf_opt = lp.kf_free & lp.kf_valid
 
-        def total_error(t_cw, pt, lsp, lep):
-            rp, _, _, wp = ba_ref._point_residuals(cam, t_cw, lp, pt)
-            rl, _, _, _, wl = ba_ref._line_residuals(cam, t_cw, lp, lsp, lep)
-            ep = jnp.sum(jnp.where(lp.po_valid,
-                                   jnp.sum(rp * rp, -1) * wp, 0.0))
-            el = jnp.sum(jnp.where(lp.lo_valid,
-                                   jnp.sum(rl * rl, -1) * wl, 0.0))
-            cnt = jnp.sum(lp.po_valid) + jnp.sum(lp.lo_valid)
-            tot = jax.lax.psum(ep + el, axis)
-            cnt = jax.lax.psum(cnt, axis)
-            return tot / jnp.maximum(cnt, 1)
+        def build_blocks(t_cw, pt, lsp, lep):
+            """Shard-local blocks + GLOBAL robust error (psum'd so every
+            device's lambda schedule stays identical)."""
+            bk = ba_core.build_blocks(cam, lp, sel,
+                                      ba_ref._point_residuals,
+                                      ba_ref._line_residuals,
+                                      t_cw, pt, lsp, lep)
+            err = (jax.lax.psum(bk.err_sum, axis)
+                   / jnp.maximum(jax.lax.psum(bk.err_cnt, axis), 1.0))
+            return bk, err
 
-        def step(t_cw, pt, lsp, lep, lam):
-            rp, jp_pose, jp_lm, wp = ba_ref._point_residuals(cam, t_cw, lp, pt)
-            rl, jl_pose, jl_sp, jl_ep, wl = ba_ref._line_residuals(
-                cam, t_cw, lp, lsp, lep)
-            wp = jnp.where(lp.po_valid, wp, 0.0)
-            wl = jnp.where(lp.lo_valid, wl, 0.0)
-            kf_opt = lp.kf_free & lp.kf_valid
-            pl, ll = pt.shape[0], lsp.shape[0]
-
-            hcc = jnp.zeros((k, 6, 6)).at[lp.po_kf].add(
-                wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_pose, jp_pose))
-            hcc = hcc.at[lp.lo_kf].add(
-                wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_pose, jl_pose))
-            bc = jnp.zeros((k, 6)).at[lp.po_kf].add(
-                wp[:, None] * jnp.einsum("nri,nr->ni", jp_pose, rp))
-            bc = bc.at[lp.lo_kf].add(
-                wl[:, None] * jnp.einsum("nri,nr->ni", jl_pose, rl))
-
-            hpp = jnp.zeros((pl, 3, 3)).at[lp.po_lm].add(
-                wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_lm, jp_lm))
-            bp = jnp.zeros((pl, 3)).at[lp.po_lm].add(
-                wp[:, None] * jnp.einsum("nri,nr->ni", jp_lm, rp))
-            hcl_p = jnp.zeros((pl, k, 6, 3)).at[lp.po_lm, lp.po_kf].add(
-                wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_pose, jp_lm))
-            jl_lm = jnp.concatenate([jl_sp, jl_ep], axis=-1)
-            hll = jnp.zeros((ll, 6, 6)).at[lp.lo_lm].add(
-                wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_lm, jl_lm))
-            bl = jnp.zeros((ll, 6)).at[lp.lo_lm].add(
-                wl[:, None] * jnp.einsum("nri,nr->ni", jl_lm, rl))
-            hcl_l = jnp.zeros((ll, k, 6, 6)).at[lp.lo_lm, lp.lo_kf].add(
-                wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_pose, jl_lm))
-
-            eye3, eye6 = jnp.eye(3), jnp.eye(6)
-            hpp_d = hpp + lam * jax.vmap(jnp.diag)(
-                jnp.maximum(jax.vmap(jnp.diagonal)(hpp), 1e-6))
-            hll_d = hll + lam * jax.vmap(jnp.diag)(
-                jnp.maximum(jax.vmap(jnp.diagonal)(hll), 1e-6))
-            pt_act = lp.pt_valid & (jax.vmap(jnp.trace)(hpp) > 1e-9)
-            ln_act = lp.ln_valid & (jax.vmap(jnp.trace)(hll) > 1e-9)
-            hpp_inv = jnp.where(pt_act[:, None, None], jnp.linalg.inv(
-                jnp.where(pt_act[:, None, None], hpp_d, eye3[None])), 0.0)
-            hll_inv = jnp.where(ln_act[:, None, None], jnp.linalg.inv(
-                jnp.where(ln_act[:, None, None], hll_d, eye6[None])), 0.0)
-
+        def step(bk, t_cw, pt, lsp, lep, lam):
+            hpp_inv, hll_inv = ba_core.landmark_inverses(bk, lam)
             # local Schur reductions, then psum over the mesh — the ICI
             # collective that makes this scale
-            s_red = (jnp.einsum("pkil,plm,pqjm->kiqj", hcl_p, hpp_inv, hcl_p)
-                     + jnp.einsum("pkil,plm,pqjm->kiqj", hcl_l, hll_inv, hcl_l)
-                     ).reshape(6 * k, 6 * k)
-            rhs_red = (jnp.einsum("pkil,plm,pm->ki", hcl_p, hpp_inv, bp)
-                       + jnp.einsum("pkil,plm,pm->ki", hcl_l, hll_inv, bl))
-            s_full = jax.lax.psum(
-                ba_ref._block_diag_embed(hcc) - s_red, axis)
-            rhs = jax.lax.psum(bc - rhs_red, axis)
-
-            diag_mask = jnp.repeat(kf_opt, 6)
-            s_full = s_full + lam * jnp.diag(
-                jnp.maximum(jnp.diagonal(s_full), 1e-6))
-            s_full = jnp.where(diag_mask[:, None] & diag_mask[None, :],
-                               s_full, 0.0)
-            s_full = s_full + jnp.diag(jnp.where(diag_mask, 0.0, 1.0))
-            rhs_f = jnp.where(diag_mask, rhs.reshape(-1), 0.0)
-            dx_cam = jnp.linalg.solve(
-                s_full + 1e-10 * jnp.eye(6 * k), rhs_f).reshape(k, 6)
-            dx_cam = jnp.where(kf_opt[:, None], dx_cam, 0.0)
-
-            dx_pt = jnp.einsum("plm,pm->pl", hpp_inv,
-                               bp - jnp.einsum("pkil,ki->pl", hcl_p, dx_cam))
-            dx_ln = jnp.einsum("plm,pm->pl", hll_inv,
-                               bl - jnp.einsum("pkil,ki->pl", hcl_l, dx_cam))
-            t_cw_new = jax.vmap(lambda t, d: se3.expmap_se3(-d) @ t)(
-                t_cw, dx_cam)
-            return (t_cw_new,
-                    pt - jnp.where(pt_act[:, None], dx_pt, 0.0),
-                    lsp - jnp.where(ln_act[:, None], dx_ln[:, :3], 0.0),
-                    lep - jnp.where(ln_act[:, None], dx_ln[:, 3:], 0.0))
+            s_local, rhs_local = ba_core.schur_reduce(bk, hpp_inv, hll_inv)
+            s_full = jax.lax.psum(s_local, axis)
+            rhs = jax.lax.psum(rhs_local, axis)
+            dx_cam = ba_core.camera_solve(s_full, rhs, kf_opt, lam)
+            dx_pt, dx_ln = ba_core.back_substitute(bk, hpp_inv, hll_inv,
+                                                   dx_cam)
+            return ba_core.retract(bk, t_cw, pt, lsp, lep,
+                                   dx_cam, dx_pt, dx_ln)
 
         def cond(c):
-            return (c[6] < max_iters) & jnp.logical_not(c[7])
+            return (c[4] < max_iters) & jnp.logical_not(c[5])
 
         def body(c):
-            t_cw, pt, lsp, lep, lam, err, it, _ = c
-            cand = step(t_cw, pt, lsp, lep, lam)
-            new_err = total_error(*cand)
+            x, bk, lam, err, it, _ = c
+            cand = step(bk, *x, lam)
+            bk_cand, new_err = build_blocks(*cand)
             improve = new_err < err
             lam2 = jnp.where(improve, lam / lambda_k, lam * lambda_k)
-            out = tuple(jnp.where(improve, a, b) for a, b in
-                        zip(cand, (t_cw, pt, lsp, lep)))
+            x2 = tuple(jnp.where(improve, a, b) for a, b in zip(cand, x))
+            bk2 = jax.tree.map(lambda a, b: jnp.where(improve, a, b),
+                               bk_cand, bk)
             err2 = jnp.where(improve, new_err, err)
-            done = improve & (jnp.abs(err - new_err)
-                              < 1e-9 * jnp.maximum(err, 1.0))
-            return (*out, lam2, err2, it + 1, done)
+            done = improve & (err - new_err
+                              < tol * jnp.maximum(new_err, 1e-12))
+            return (x2, bk2, lam2, err2, it + 1, done)
 
-        err0 = total_error(t_cw0, lp.pt_pos, lp.ln_sp, lp.ln_ep)
-        t_cw, pt, lsp, lep, _, err, iters, _ = jax.lax.while_loop(
-            cond, body, (t_cw0, lp.pt_pos, lp.ln_sp, lp.ln_ep,
+        bk0, err0 = build_blocks(t_cw0, lp.pt_pos, lp.ln_sp, lp.ln_ep)
+        x_fin, _, _, err, iters, _ = jax.lax.while_loop(
+            cond, body, ((t_cw0, lp.pt_pos, lp.ln_sp, lp.ln_ep), bk0,
                          jnp.asarray(lambda0), err0,
                          jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+        t_cw, pt, lsp, lep = x_fin
 
         rp, _, _, _ = ba_ref._point_residuals(cam, t_cw, lp, pt)
         rl, _, _, _, _ = ba_ref._line_residuals(cam, t_cw, lp, lsp, lep)

@@ -139,9 +139,10 @@ def test_fuse_loop_landmarks(cfg):
                       .at[n_dup:2 * n_dup].set(jnp.arange(n_dup) + 10),
         po_valid=m.po_valid.at[:2 * n_dup].set(True),
     )
-    m2, n_fused = map_ops.fuse_loop_landmarks(
+    m2, n_fused, n_over = map_ops.fuse_loop_landmarks(
         cfg, m, jnp.asarray(2), jnp.asarray(10))
     assert int(n_fused) == n_dup, int(n_fused)
+    assert int(n_over) == 0
     # dropped B ids invalid; kept A ids retain combined obs counts
     assert not bool(jnp.any(m2.pt_valid[10:10 + n_dup]))
     assert bool(jnp.all(m2.pt_valid[:n_dup]))

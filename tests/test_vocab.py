@@ -97,3 +97,52 @@ def test_default_vocab_is_trained():
     (parity with the reference loading voc_all_datasets_*.yml,
     config.cpp:59-60)."""
     assert loop_ops.VOCAB_SOURCE != "random-anchors", loop_ops.VOCAB_SOURCE
+
+
+def test_shipped_vocab_has_frozen_idf():
+    """The shipped vocabulary carries training-corpus document frequencies
+    so idf weighting is frozen (DBoW2 setNodeWeights semantics,
+    TemplatedVocabulary.h:1066-1127)."""
+    idf = loop_ops.active_idf(256)
+    assert idf is not None, "vocab_synth.npz lacks df_p/df_l/n_docs"
+    assert np.isfinite(idf[0]).all() and np.isfinite(idf[1]).all()
+    assert (idf[0] >= 0).all()
+
+
+def test_frozen_idf_scores_are_epoch_consistent():
+    """The BoW score of the same two keyframes must not depend on how many
+    other keyframes were inserted in between — online-df scoring drifts
+    across epochs as the map grows; frozen trained idf does not."""
+    cfg = Config(
+        cap=CapacityParams(n_pt=256, n_ln=128, n_kf_max=16, vocab_k=256),
+        orb=OrbParams(nlevels=2),
+        camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
+                            cx=183.7, cy=126.1, baseline=0.11))
+    assert loop_ops.active_idf(cfg.cap.vocab_k) is not None
+
+    wa = synthetic.make_world(n_frames=2, n_points=350, n_lines=40, seed=5)
+    wd = synthetic.make_world(n_frames=10, n_points=350, n_lines=40, seed=42)
+    fa0 = synthetic.render_frame(wa, 0, noise=1.0, seed=11)
+    fa1 = synthetic.render_frame(wa, 0, noise=1.0, seed=77)
+    distract = [synthetic.render_frame(wd, i, noise=1.0) for i in range(8)]
+    fr = []
+    for il, ir in [fa0, fa1] + distract:
+        fr.append(process_stereo_pair(jnp.asarray(il), jnp.asarray(ir),
+                                      cfg, jnp.asarray(20.0)))
+
+    # early epoch: A, revisit-A back to back
+    ls = loop_ops.empty_loop_state(cfg)
+    ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(0), fr[0])
+    ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(1), fr[1])
+    s_early = float(np.asarray(ls.conf)[1, 0])
+
+    # late epoch: A, 8 distractors, then revisit-A
+    ls = loop_ops.empty_loop_state(cfg)
+    ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(0), fr[0])
+    for i, f in enumerate(fr[2:]):
+        ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(1 + i), f)
+    ls = loop_ops.insert_kf_bow(cfg, ls, jnp.asarray(9), fr[1])
+    s_late = float(np.asarray(ls.conf)[9, 0])
+
+    assert s_early > 0, s_early
+    np.testing.assert_allclose(s_late, s_early, rtol=1e-5)
