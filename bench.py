@@ -7,14 +7,14 @@ point) as ONE on-device ``lax.scan`` over the sequence (zero host round-trips
 per frame): steady-state VO frames per second on one chip.
 
 Also measured and reported in the same JSON line:
-- ``full_slam_fps``: the PIPELINED full system — per keyframe interval, the
-  tracking scan and one fused mapping program (KF association + local BA +
-  culling + dual-BoW insert + loop scoring/verification, models/mapping.py)
-  are dispatched back-to-back and synced once at the end, exactly like the
-  async-mapping driver (slam.py async_mapping=True). Mapping runs on a map
-  that GROWS across distinct keyframes, so association/BA see realistic
-  occupancy.
+- ``full_slam_fps``: the SHIPPED driver — ``SLAMSystem(async_mapping=True)``
+  (the default) timed end-to-end over a 120-frame textured loop sequence,
+  map grown to realistic occupancy (tens of KFs), loop closure on.
+- ``ate_rmse``: trajectory accuracy of that same full-SLAM run against the
+  synthetic world's ground truth.
 - ``kf_mapping_ms``: per-KF cost of the fused mapping program alone.
+- ``ba_ms_per_iter``: one local-BA LM iteration at the shipped window shape
+  (BASELINE.json metric 3: "BA ms/iter at N keyframes").
 
 ``vs_baseline``: the reference publishes no fps numbers (BASELINE.md); the
 EuRoC camera rate (20 Hz) is the real-time baseline the reference claims to
@@ -86,21 +86,44 @@ def main():
     jax.block_until_ready(m)
     kf_ms = (time.perf_counter() - t0) / kf_reps * 1000.0
 
-    # ---- pipelined full SLAM: tracking scan + mapping steps dispatched
-    # back-to-back (async-mapping driver pattern), one sync per rep ----
-    n_kf_per_scan = max(1, int(round((n_frames - 1) / kf_interval)))
+    # ---- BA ms/iter at the shipped local-window shape (BASELINE.json
+    # metric 3) — solve on the occupied map's window problem ----
+    from gfplslam_tpu.models import ba as ba_ops
+    prob = map_ops.build_local_ba_problem(cfg, m)[0]
+    res_ba = ba_ops.solve_ba(cfg.camera, prob, max_iters=10)
+    jax.block_until_ready(res_ba.err)
     t0 = time.perf_counter()
-    for r in range(reps):
-        poses, aux = run_vo_scan(cfg, imgs_l, imgs_r, ts)
-        for i in range(n_kf_per_scan):
-            res = mapping_step(cfg, m, ls,
-                               fr[(r * n_kf_per_scan + i) % (n_frames - 1) + 1],
-                               t_rel)
-            m, ls = res.map, res.loop_state
-        poses.block_until_ready()
-    jax.block_until_ready(m)
+    ba_reps = 3
+    for _ in range(ba_reps):
+        res_ba = ba_ops.solve_ba(cfg.camera, prob, max_iters=10)
+        jax.block_until_ready(res_ba.err)
+    ba_iters = max(1, int(res_ba.iters))
+    ba_ms_per_iter = (time.perf_counter() - t0) / ba_reps / ba_iters * 1e3
+
+    # ---- full SLAM: the SHIPPED async-mapping driver end-to-end on a
+    # 120-frame textured loop, map grown to realistic occupancy ----
+    from gfplslam_tpu.models.slam import SLAMSystem
+    from gfplslam_tpu.utils.trajectory import ate_rmse
+    n_slam = 120
+    slam_world = synthetic.make_world(n_frames=n_slam, n_points=900,
+                                      n_lines=90, seed=11, motion="loop",
+                                      cam=cam, textured=True)
+    slam_frames = [synthetic.render_frame(slam_world, i, noise=1.0)
+                   for i in range(n_slam)]
+    slam = SLAMSystem(cfg)  # async_mapping=True default
+    # warm the driver's programs on the first frames (compile outside timing)
+    for i in range(3):
+        slam.process(slam_frames[i][0], slam_frames[i][1],
+                     float(slam_world.timestamps[i]))
+    t0 = time.perf_counter()
+    for i in range(3, n_slam):
+        slam.process(slam_frames[i][0], slam_frames[i][1],
+                     float(slam_world.timestamps[i]))
+    slam.finish()
     full_dt = time.perf_counter() - t0
-    full_fps = reps * (n_frames - 1) / full_dt
+    full_fps = (n_slam - 3) / full_dt
+    n_kf_grown = len(slam.keyframe_trajectory)
+    ate = float(ate_rmse(slam.all_frame_trajectory, slam_world.poses))
 
     # ---- KITTI operating point (1241x376, 10 Hz camera,
     # config/kitti/kitti00-02.yaml) — a distinct compile shape ----
@@ -129,6 +152,9 @@ def main():
         "vs_baseline": round(fps / 20.0, 3),
         "full_slam_fps": round(full_fps, 3),
         "kf_mapping_ms": round(kf_ms, 3),
+        "ba_ms_per_iter": round(ba_ms_per_iter, 3),
+        "ate_rmse": round(ate, 4),
+        "slam_keyframes": n_kf_grown,
         "kf_interval_frames": round(kf_interval, 2),
         "kitti_vo_fps": round(kitti_fps, 3),
     }))

@@ -24,9 +24,23 @@ import jax as _jax
 # itself; this default only fills in when it is unset).
 if not _os.environ.get("GFPLSLAM_NO_COMPILE_CACHE"):
     if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # scope the cache to this machine's CPU feature set: XLA:CPU AOT
+        # executables baked for one microarchitecture are reloaded verbatim
+        # from a shared cache dir and can SIGILL/segfault on a host with
+        # different features (observed: cross-machine cache reuse crashing
+        # inside put_executable_and_time during full test runs)
+        import hashlib as _hashlib
+        import platform as _platform
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _cpu = next((ln for ln in _f if ln.startswith("flags")), "")
+        except OSError:
+            _cpu = _platform.processor()
+        _fp = _hashlib.sha1(
+            (_platform.machine() + _cpu).encode()).hexdigest()[:10]
         _cache_dir = _os.path.join(
             _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-            ".jax_cache")
+            ".jax_cache", _fp)
         try:
             _os.makedirs(_cache_dir, exist_ok=True)
             _jax.config.update("jax_compilation_cache_dir", _cache_dir)

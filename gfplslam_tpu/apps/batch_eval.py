@@ -73,8 +73,9 @@ def run_dataset(args):
     (io/datasets.py KITTI_CALIB — 3 distinct camera setups over 00-10)."""
     from gfplslam_tpu.apps.run_slam import main as run_one
     results = []
-    root = args.euroc_root or args.kitti_root
-    flag = "--euroc" if args.euroc_root else "--kitti"
+    root = args.euroc_root or args.kitti_root or args.gazebo_root
+    flag = ("--euroc" if args.euroc_root
+            else "--gazebo" if args.gazebo_root else "--kitti")
     for seq in args.sequences:
         seq_dir = os.path.join(root, seq)
         for rep in range(args.repeats):
@@ -95,6 +96,10 @@ def main(argv=None):
     ap.add_argument("--kitti-root",
                     help="KITTI odometry root; sequences are ids 00..10 "
                          "(Run_KITTI.py:8-52 covers 00-10 x 3 calibrations)")
+    ap.add_argument("--gazebo-root",
+                    help="Gazebo simulation root (Run_Gazebo.py role): each "
+                         "sequence dir holds cam0/data + cam1/data with the "
+                         "gazebo_params.yaml ideal-pinhole rig")
     ap.add_argument("--sequences", nargs="*", default=2)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=1)
@@ -113,8 +118,9 @@ def main(argv=None):
             args.sequences = int(args.sequences[0]) if args.sequences else 2
         results = run_synthetic(args)
     else:
-        if not (args.euroc_root or args.kitti_root):
-            ap.error("need --synthetic, --euroc-root, or --kitti-root")
+        if not (args.euroc_root or args.kitti_root or args.gazebo_root):
+            ap.error("need --synthetic, --euroc-root, --kitti-root, "
+                     "or --gazebo-root")
         results = run_dataset(args)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -28,6 +28,9 @@ def main(argv=None):
     src.add_argument("--synthetic", action="store_true")
     src.add_argument("--euroc", metavar="DIR")
     src.add_argument("--kitti", metavar="DIR")
+    src.add_argument("--gazebo", metavar="DIR",
+                     help="Gazebo simulation sequence (cam0/data + "
+                          "cam1/data, gazebo_params.yaml rig)")
     ap.add_argument("-o", "--out", default="/tmp/gfplslam",
                     help="output prefix")
     ap.add_argument("-n", "--frames", type=int, default=0,
@@ -44,9 +47,13 @@ def main(argv=None):
                     help="per-module TimeLog mode: one device program per "
                          "reference pipeline stage (all 10 time_* fields "
                          "populated; costs fusion)")
-    ap.add_argument("--async-mapping", action="store_true",
+    ap.add_argument("--async-mapping", dest="async_mapping",
+                    action="store_true", default=True,
                     help="dispatch per-KF BA/loop scoring without blocking "
-                         "tracking (decisions land at the next KF)")
+                         "tracking (decisions land at the next KF; DEFAULT)")
+    ap.add_argument("--sync", dest="async_mapping", action="store_false",
+                    help="blocking mapping: BA/LC decisions land at the "
+                         "same KF (the reference's synchronous addKeyFrame)")
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed from env coordinator "
                          "settings before touching devices")
@@ -73,9 +80,11 @@ def main(argv=None):
         gt = world.poses[args.offset::args.stride]
         gt_ts = world.timestamps[args.offset::args.stride]
     else:
-        from gfplslam_tpu.io.datasets import load_euroc, load_kitti
+        from gfplslam_tpu.io.datasets import (load_euroc, load_gazebo,
+                                              load_kitti)
         from gfplslam_tpu.io import native_loader
         seq = (load_euroc(args.euroc) if args.euroc
+               else load_gazebo(args.gazebo) if args.gazebo
                else load_kitti(args.kitti))
         cam = seq.cam
         idx = range(args.offset,

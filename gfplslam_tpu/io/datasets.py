@@ -140,6 +140,34 @@ def kitti_camera(sequence: str) -> CameraParams:
     return KITTI_CALIB[seq]
 
 
+def load_gazebo(seq_dir: str) -> StereoSequence:
+    """Gazebo simulation layout (batch_script/Run_Gazebo.py +
+    config/gazebo_params.yaml): cam0/data/ + cam1/data/ image folders, ideal
+    pinhole rig (no distortion, identity rectification), 640x480,
+    f=554.25626, c=(320, 240), baseline 0.1 m."""
+    cam0 = os.path.join(seq_dir, "cam0", "data")
+    cam1 = os.path.join(seq_dir, "cam1", "data")
+    files_l = sorted(os.listdir(cam0))
+    files_r = sorted(os.listdir(cam1))
+    n = min(len(files_l), len(files_r))
+
+    def _ts(files):
+        try:
+            return np.array([float(os.path.splitext(f)[0])
+                             for f in files]) * 1e-9
+        except ValueError:
+            return np.arange(len(files)) * 0.05
+
+    ts = _ts(files_l)[:n]
+    cam = CameraParams(width=640, height=480, fx=554.25626, fy=554.25626,
+                       cx=320.0, cy=240.0, baseline=0.1)
+    return StereoSequence(
+        paths_l=[os.path.join(cam0, f) for f in files_l[:n]],
+        paths_r=[os.path.join(cam1, f) for f in files_r[:n]],
+        timestamps=ts, cam=cam, maps=None,
+        gt_poses=None, gt_timestamps=None)
+
+
 def load_kitti(seq_dir: str, cam: Optional[CameraParams] = None
                ) -> StereoSequence:
     """KITTI odometry layout: image_0/ image_1/ (rectified grayscale),
@@ -153,7 +181,19 @@ def load_kitti(seq_dir: str, cam: Optional[CameraParams] = None
         ts = np.loadtxt(times_path)
     else:
         ts = np.arange(len(files)) * 0.1
-    cam = cam or kitti_camera(os.path.basename(os.path.normpath(seq_dir)))
+    if cam is None:
+        seq_name = os.path.basename(os.path.normpath(seq_dir))
+        try:
+            cam = kitti_camera(seq_name)
+        except ValueError:
+            # custom-named sequence directory: fall back to the 00-02 rig
+            # with a warning instead of crashing (callers with real custom
+            # rigs pass cam= explicitly)
+            import warnings
+            warnings.warn(
+                f"KITTI sequence dir {seq_name!r} has no known calibration; "
+                f"using the 00-02 rig — pass cam= for custom setups")
+            cam = KITTI_CALIB["00"]
     gt_poses = None
     poses_path = os.path.join(seq_dir, "poses.txt")
     if os.path.exists(poses_path):

@@ -127,6 +127,38 @@ def _line_residuals(cam: CameraParams, t_cw: jax.Array, prob: BAProblem,
     return jax.vmap(one)(prob.lo_kf, prob.lo_lm, prob.lo_le, prob.lo_sigma2)
 
 
+def _point_chi2(cam: CameraParams, t_cw: jax.Array, prob: BAProblem,
+                pt_pos: jax.Array) -> jax.Array:
+    """Per point-obs squared reprojection error [Op] (no Jacobians — used by
+    the per-landmark step-acceptance test, which needs only residuals)."""
+    t = t_cw[prob.po_kf]                                   # [Op, 4, 4]
+    x = pt_pos[prob.po_lm]                                 # [Op, 3]
+    pc = jnp.einsum("nij,nj->ni", t[:, :3, :3], x) + t[:, :3, 3]
+    z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+    proj = jnp.stack([cam.fx * pc[:, 0] / z + cam.cx,
+                      cam.fy * pc[:, 1] / z + cam.cy], axis=-1)
+    r = proj - prob.po_uv
+    return jnp.sum(r * r, axis=-1)
+
+
+def _line_chi2(cam: CameraParams, t_cw: jax.Array, prob: BAProblem,
+               ln_sp: jax.Array, ln_ep: jax.Array) -> jax.Array:
+    """Per line-obs squared endpoint-to-line error [Ol]."""
+    t = t_cw[prob.lo_kf]
+
+    def ep_err(xw):
+        pc = jnp.einsum("nij,nj->ni", t[:, :3, :3], xw) + t[:, :3, 3]
+        z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        u = cam.fx * pc[:, 0] / z + cam.cx
+        v = cam.fy * pc[:, 1] / z + cam.cy
+        le = prob.lo_le
+        return le[:, 0] * u + le[:, 1] * v + le[:, 2]
+
+    rs = ep_err(ln_sp[prob.lo_lm])
+    re = ep_err(ln_ep[prob.lo_lm])
+    return rs * rs + re * re
+
+
 def _total_error(cam, t_cw, prob, pt_pos, ln_sp, ln_ep):
     rp, _, _, wp = _point_residuals(cam, t_cw, prob, pt_pos)
     rl, _, _, _, wl = _line_residuals(cam, t_cw, prob, ln_sp, ln_ep)
@@ -168,8 +200,20 @@ def solve_ba(cam: CameraParams, prob: BAProblem, lambda0: float = 1e-3,
         s_full, rhs = ba_core.schur_reduce(bk, hpp_inv, hll_inv)
         dx_cam = ba_core.camera_solve(s_full, rhs, kf_opt, lam)
         dx_pt, dx_ln = ba_core.back_substitute(bk, hpp_inv, hll_inv, dx_cam)
-        return ba_core.retract(bk, t_cw, pt_pos, ln_sp, ln_ep,
-                               dx_cam, dx_pt, dx_ln)
+        t_new, pt_new, sp_new, ep_new = ba_core.retract(
+            bk, t_cw, pt_pos, ln_sp, ln_ep, dx_cam, dx_pt, dx_ln)
+        # per-landmark acceptance: a landmark step that worsens its own
+        # unweighted chi2 (at the candidate cameras) is reverted — the
+        # saturating robust weight makes the global LM accept test blind to
+        # individual landmark fly-away (see ba_core.accept_landmarks)
+        pt_fin, sp_fin, ep_fin = ba_core.accept_landmarks(
+            sel, prob,
+            _point_chi2(cam, t_new, prob, pt_pos),
+            _point_chi2(cam, t_new, prob, pt_new),
+            _line_chi2(cam, t_new, prob, ln_sp, ln_ep),
+            _line_chi2(cam, t_new, prob, sp_new, ep_new),
+            pt_pos, pt_new, ln_sp, sp_new, ln_ep, ep_new)
+        return t_new, pt_fin, sp_fin, ep_fin
 
     def cond(carry):
         _, _, _, _, it, done = carry

@@ -99,6 +99,47 @@ def make_selectors(prob) -> tuple:
             jax.nn.one_hot(prob.lo_lm, l, dtype=jnp.float32))
 
 
+# Obs-chunking threshold for the landmark-family one-hot contractions: at
+# the single-device global-BA shape (Op=65536, P=16384, K=512) the
+# unchunked intermediates ([Op, P] one-hot + [Op, 12+18K] values +
+# [Op, K, 6, 3] cross products) peak at ~9 GB; accumulating over obs
+# chunks bounds them to ~chunk/Op of that while keeping every matmul
+# MXU-sized. Local windows (Op ~ 1k) stay on the unchunked path.
+OBS_CHUNK = 8192
+
+
+def _lm_family_blocks(oh_lm, oh_kf, w, j_pose, j_lm, r, width):
+    """[Obs]-indexed landmark-family accumulation: returns [N_lm, width]
+    with columns (H_lm | b_lm | per-KF cross blocks), chunked over the
+    observation axis when it is large."""
+    d = j_lm.shape[-1]
+
+    def values(oh_kf_c, w_c, jp_c, jl_c, r_c):
+        v_h = w_c[:, None, None] * jnp.einsum("nri,nrj->nij", jl_c, jl_c)
+        v_b = w_c[:, None] * jnp.einsum("nri,nr->ni", jl_c, r_c)
+        v_x = (oh_kf_c[:, :, None, None]
+               * (w_c[:, None, None] * jnp.einsum(
+                   "nri,nrj->nij", jp_c, jl_c))[:, None])  # [n,K,6,d]
+        return jnp.concatenate(
+            [v_h.reshape(-1, d * d), v_b, v_x.reshape(v_x.shape[0], -1)],
+            axis=1)
+
+    n = w.shape[0]
+    if n <= OBS_CHUNK or n % OBS_CHUNK != 0:
+        return oh_lm.T @ values(oh_kf, w, j_pose, j_lm, r)
+
+    def body(acc, sl):
+        oh_lm_c, oh_kf_c, w_c, jp_c, jl_c, r_c = sl
+        return acc + oh_lm_c.T @ values(oh_kf_c, w_c, jp_c, jl_c, r_c), None
+
+    chunked = jax.tree.map(
+        lambda x: x.reshape(n // OBS_CHUNK, OBS_CHUNK, *x.shape[1:]),
+        (oh_lm, oh_kf, w, j_pose, j_lm, r))
+    acc0 = jnp.zeros((oh_lm.shape[1], width))
+    acc, _ = jax.lax.scan(body, acc0, chunked)
+    return acc
+
+
 def build_blocks(cam, prob, sel, point_residuals, line_residuals,
                  t_cw, pt_pos, ln_sp, ln_ep) -> BABlocks:
     """Residual pass + block accumulation at one state."""
@@ -131,28 +172,16 @@ def build_blocks(cam, prob, sel, point_residuals, line_residuals,
     bc = cam_blocks[:, 36:]
 
     # Point-landmark family: [Op, 9 + 3 + K*18] against [Op, P].
-    v_pp = wp[:, None, None] * jnp.einsum("nri,nrj->nij", jp_lm, jp_lm)
-    v_bp = wp[:, None] * jnp.einsum("nri,nr->ni", jp_lm, rp)
-    v_cl_p = (oh_pk[:, :, None, None]
-              * (wp[:, None, None] * jnp.einsum(
-                  "nri,nrj->nij", jp_pose, jp_lm))[:, None])  # [Op,K,6,3]
-    v_pt = jnp.concatenate([v_pp.reshape(-1, 9), v_bp,
-                            v_cl_p.reshape(v_cl_p.shape[0], -1)], axis=1)
-    pt_blocks = oh_pp.T @ v_pt                              # [P, 12+18K]
+    pt_blocks = _lm_family_blocks(oh_pp, oh_pk, wp, jp_pose, jp_lm, rp,
+                                  12 + 18 * k)
     hpp = pt_blocks[:, :9].reshape(p, 3, 3)
     bp = pt_blocks[:, 9:12]
     hcl_p = pt_blocks[:, 12:].reshape(p, k, 6, 3)
 
     # Line-landmark family: [Ol, 36 + 6 + K*36] against [Ol, L].
     jl_lm = jnp.concatenate([jl_sp, jl_ep], axis=-1)   # [Ol,2,6]
-    v_ll = wl[:, None, None] * jnp.einsum("nri,nrj->nij", jl_lm, jl_lm)
-    v_bl = wl[:, None] * jnp.einsum("nri,nr->ni", jl_lm, rl)
-    v_cl_l = (oh_lk[:, :, None, None]
-              * (wl[:, None, None] * jnp.einsum(
-                  "nri,nrj->nij", jl_pose, jl_lm))[:, None])  # [Ol,K,6,6]
-    v_ln = jnp.concatenate([v_ll.reshape(-1, 36), v_bl,
-                            v_cl_l.reshape(v_cl_l.shape[0], -1)], axis=1)
-    ln_blocks = oh_ll.T @ v_ln                              # [L, 42+36K]
+    ln_blocks = _lm_family_blocks(oh_ll, oh_lk, wl, jl_pose, jl_lm, rl,
+                                  42 + 36 * k)
     hll = ln_blocks[:, :36].reshape(l, 6, 6)
     bl = ln_blocks[:, 36:42]
     hcl_l = ln_blocks[:, 42:].reshape(l, k, 6, 6)
@@ -171,18 +200,46 @@ def build_blocks(cam, prob, sel, point_residuals, line_residuals,
                     err_sum=err_sum, err_cnt=err_cnt)
 
 
+# Observability gates for landmark update directions (see landmark_inverses).
+# REL: an eigendirection below this fraction of the block's largest
+# eigenvalue is unobservable at the current window's parallax — for a point
+# the depth/lateral curvature ratio is ~(B/z)^2 with B the effective
+# parallax baseline, so 1e-3 freezes depth whenever B/z < ~3% (~1.8 deg,
+# the classic min-parallax triangulation gate). ABS matches the pt_act
+# trace floor (one healthy obs contributes ~(fx/z)^2 ~ 1e3).
+EIG_REL_GATE = 1e-3
+EIG_ABS_GATE = 1e-2
+
+
+def _spectral_inverse(h: jax.Array, act: jax.Array, lam) -> jax.Array:
+    """Damped pseudo-inverse of symmetric landmark blocks restricted to
+    their OBSERVABLE eigenspace.
+
+    Why not a plain damped inverse: a landmark seen at low parallax has a
+    near-null Hessian direction (its depth along the viewing ray); the
+    solved step there is gradient-noise divided by ~zero curvature, i.e.
+    meters of motion to cancel a pixel of noise. Observed failure mode
+    (tests/test_ba_window.py): landmarks with 1-3 window observations slid
+    0.7-7 m along their rays while strictly DECREASING their own chi2, so
+    neither the global LM accept test nor a per-landmark descent veto can
+    reject the step. Restricting updates to eigendirections with real
+    curvature holds such landmarks fixed along their unobservable axes —
+    the TPU-native analog of the reference's min-parallax triangulation
+    gating (stereoFrameHandler.cpp recoverPose checks) applied per solve."""
+    w, v = jnp.linalg.eigh(h)                       # ascending eigenvalues
+    wmax = jnp.maximum(w[..., -1:], 0.0)
+    keep = (w > EIG_REL_GATE * wmax) & (w > EIG_ABS_GATE)
+    wd = w + lam * jnp.maximum(w, 1e-6)
+    winv = jnp.where(keep, 1.0 / jnp.where(keep, wd, 1.0), 0.0)
+    inv = jnp.einsum("...ik,...k,...jk->...ij", v, winv, v)
+    return jnp.where(act[:, None, None], inv, 0.0)
+
+
 def landmark_inverses(bk: BABlocks, lam) -> tuple[jax.Array, jax.Array]:
-    """Damped closed-form landmark block inverses (zero for empty slots)."""
-    eye3 = jnp.eye(3)
-    eye6 = jnp.eye(6)
-    hpp_d = bk.hpp + lam * jax.vmap(jnp.diag)(
-        jnp.maximum(jax.vmap(jnp.diagonal)(bk.hpp), 1e-6))
-    hll_d = bk.hll + lam * jax.vmap(jnp.diag)(
-        jnp.maximum(jax.vmap(jnp.diagonal)(bk.hll), 1e-6))
-    hpp_inv = inv3(jnp.where(bk.pt_act[:, None, None], hpp_d, eye3[None]))
-    hll_inv = inv6(jnp.where(bk.ln_act[:, None, None], hll_d, eye6[None]))
-    hpp_inv = jnp.where(bk.pt_act[:, None, None], hpp_inv, 0.0)
-    hll_inv = jnp.where(bk.ln_act[:, None, None], hll_inv, 0.0)
+    """Damped landmark block inverses restricted to observable
+    eigendirections (zero for empty slots) — see :func:`_spectral_inverse`."""
+    hpp_inv = _spectral_inverse(bk.hpp, bk.pt_act, lam)
+    hll_inv = _spectral_inverse(bk.hll, bk.ln_act, lam)
     return hpp_inv, hll_inv
 
 
@@ -254,6 +311,45 @@ def retract(bk: BABlocks, t_cw, pt_pos, ln_sp, ln_ep, dx_cam, dx_pt, dx_ln):
     ln_sp_new = ln_sp - jnp.where(bk.ln_act[:, None], dx_sp, 0.0)
     ln_ep_new = ln_ep - jnp.where(bk.ln_act[:, None], dx_ep, 0.0)
     return t_cw_new, pt_new, ln_sp_new, ln_ep_new
+
+
+def accept_landmarks(sel, prob, chi2_p_old, chi2_p_new, chi2_l_old,
+                     chi2_l_new, pt_old, pt_new, sp_old, sp_new,
+                     ep_old, ep_new):
+    """Per-landmark step acceptance: keep a landmark's candidate position
+    only if it does not worsen that landmark's own (unweighted) reprojection
+    chi2, evaluated at the CANDIDATE camera poses.
+
+    Why this exists: the robust weight 1/(1+r^2 sigma^2) saturates for a
+    landmark whose observations are all far off, so its contribution to the
+    GLOBAL robust error is ~constant and LM's global accept test cannot veto
+    an individually divergent landmark step (observed: landmarks stepping
+    away at the trust-region cap every iteration while total robust error
+    decreases — mapHandler.cpp:1217-1838's dense solve has the same robust
+    weight but its landmarks never fly because each window there is solved
+    once from fresh triangulations, not iterated on a persistent map). The
+    unweighted per-landmark chi2 does NOT saturate, so vetoing on it freezes
+    any landmark whose step moves it against its own evidence while leaving
+    well-conditioned updates untouched.
+
+    ``chi2_*`` are per-observation squared errors [Op]/[Ol] at the candidate
+    cameras with old vs new landmark positions; the per-landmark sums are
+    one-hot matvecs over the already-built selector matrices."""
+    _, _, oh_pp, oh_ll = sel
+    cp_old = jnp.where(prob.po_valid, chi2_p_old, 0.0)
+    cp_new = jnp.where(prob.po_valid, chi2_p_new, 0.0)
+    e_p_old = cp_old @ oh_pp                                # [P]
+    e_p_new = cp_new @ oh_pp
+    keep_p = e_p_new <= e_p_old
+    cl_old = jnp.where(prob.lo_valid, chi2_l_old, 0.0)
+    cl_new = jnp.where(prob.lo_valid, chi2_l_new, 0.0)
+    e_l_old = cl_old @ oh_ll                                # [L]
+    e_l_new = cl_new @ oh_ll
+    keep_l = e_l_new <= e_l_old
+    pt = jnp.where(keep_p[:, None], pt_new, pt_old)
+    sp = jnp.where(keep_l[:, None], sp_new, sp_old)
+    ep = jnp.where(keep_l[:, None], ep_new, ep_old)
+    return pt, sp, ep
 
 
 def block_diag_embed(blocks: jax.Array) -> jax.Array:

@@ -62,37 +62,44 @@ _VOCAB_L_FULL = make_vocab(seed=67)
 VOCAB_SOURCE = "random-anchors"
 
 
-_TRAINED_P = None
-_TRAINED_L = None
-_TRAINED_DF_P = None   # frozen training-corpus document frequencies
-_TRAINED_DF_L = None
-_TRAINED_NDOCS = None
+# trained vocabularies by word count: {k: dict(vp, vl, df_p, df_l, n_docs)}
+# — every shipped capacity gets its own k-majority codebook (slicing one
+# codebook to a smaller k drops half its words and breaks discrimination)
+_TRAINED: dict = {}
 
 
 def _load_default_vocab() -> None:
-    global _TRAINED_P, _TRAINED_L, VOCAB_SOURCE
-    global _TRAINED_DF_P, _TRAINED_DF_L, _TRAINED_NDOCS
+    """Load every shipped ``data/vocab_synth*.npz`` (one per word count) —
+    the analog of the reference loading its pre-trained .yml vocabularies at
+    startup (config.cpp:59-60, mapHandler.cpp:30-35)."""
+    global VOCAB_SOURCE
+    import glob
     import os
-    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                        "data", "vocab_synth.npz")
-    if os.path.exists(path):
+    data_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            "data")
+    for path in sorted(glob.glob(os.path.join(data_dir, "vocab_synth*.npz"))):
         data = np.load(path)
-        _TRAINED_P = np.asarray(data["vocab_p"], np.uint32)
-        _TRAINED_L = np.asarray(data["vocab_l"], np.uint32)
-        if "df_p" in data:
-            _TRAINED_DF_P = np.asarray(data["df_p"], np.float32)
-            _TRAINED_DF_L = np.asarray(data["df_l"], np.float32)
-            _TRAINED_NDOCS = float(data["n_docs"])
-        VOCAB_SOURCE = path
+        vp = np.asarray(data["vocab_p"], np.uint32)
+        entry = dict(
+            vp=vp, vl=np.asarray(data["vocab_l"], np.uint32),
+            df_p=(np.asarray(data["df_p"], np.float32)
+                  if "df_p" in data else None),
+            df_l=(np.asarray(data["df_l"], np.float32)
+                  if "df_l" in data else None),
+            n_docs=float(data["n_docs"]) if "n_docs" in data else None)
+        _TRAINED[vp.shape[0]] = entry
+        if path.endswith("vocab_synth.npz") or VOCAB_SOURCE == "random-anchors":
+            VOCAB_SOURCE = path
 
 
 def active_vocab(vocab_k: int) -> tuple[np.ndarray, np.ndarray]:
-    """The vocabulary used at size ``vocab_k``: the trained words when the
-    sizes match exactly (slicing a k-majority codebook drops half its words
-    and breaks discrimination), random anchors otherwise."""
-    if _TRAINED_P is not None and _TRAINED_P.shape[0] == vocab_k:
-        return _TRAINED_P, (_TRAINED_L if _TRAINED_L.shape[0] == vocab_k
-                            else _VOCAB_L_FULL[:vocab_k])
+    """The vocabulary used at size ``vocab_k``: the trained words when a
+    codebook of that exact size is installed, random anchors otherwise."""
+    t = _TRAINED.get(vocab_k)
+    if t is not None:
+        vl = t["vl"]
+        return t["vp"], (vl if vl.shape[0] == vocab_k
+                         else _VOCAB_L_FULL[:vocab_k])
     return _VOCAB_P_FULL[:vocab_k], _VOCAB_L_FULL[:vocab_k]
 
 
@@ -104,10 +111,10 @@ def active_idf(vocab_k: int) -> tuple[np.ndarray, np.ndarray] | None:
     updates them online (TemplatedVocabulary.h:1066-1127), which keeps every
     conf-matrix row on the same scale regardless of when it was computed;
     online-df scoring drifts across epochs as the map grows."""
-    if (_TRAINED_P is not None and _TRAINED_P.shape[0] == vocab_k
-            and _TRAINED_DF_P is not None):
-        idf_p = np.log((_TRAINED_NDOCS + 1.0) / (_TRAINED_DF_P + 1.0))
-        idf_l = np.log((_TRAINED_NDOCS + 1.0) / (_TRAINED_DF_L + 1.0))
+    t = _TRAINED.get(vocab_k)
+    if t is not None and t["df_p"] is not None:
+        idf_p = np.log((t["n_docs"] + 1.0) / (t["df_p"] + 1.0))
+        idf_l = np.log((t["n_docs"] + 1.0) / (t["df_l"] + 1.0))
         return idf_p.astype(np.float32), idf_l.astype(np.float32)
     return None
 
@@ -115,20 +122,18 @@ def active_idf(vocab_k: int) -> tuple[np.ndarray, np.ndarray] | None:
 def set_vocab(vocab_p: np.ndarray, vocab_l: np.ndarray,
               df_p: np.ndarray = None, df_l: np.ndarray = None,
               n_docs: float = None) -> None:
-    """Install trained vocabularies (apps/train_vocab.py output) in place of
-    the default random anchors — the analog of loading the reference's
-    pre-trained .yml files (config.cpp:59-60). Active only for configs whose
-    ``vocab_k`` equals the trained word count (see :func:`active_vocab`).
-    Optional ``df_p/df_l/n_docs`` freeze the idf at the trained values."""
-    global _TRAINED_P, _TRAINED_L, VOCAB_SOURCE
-    global _TRAINED_DF_P, _TRAINED_DF_L, _TRAINED_NDOCS
-    _TRAINED_P = np.asarray(vocab_p, np.uint32)
-    _TRAINED_L = np.asarray(vocab_l, np.uint32)
-    _TRAINED_DF_P = (np.asarray(df_p, np.float32)
-                     if df_p is not None else None)
-    _TRAINED_DF_L = (np.asarray(df_l, np.float32)
-                     if df_l is not None else None)
-    _TRAINED_NDOCS = float(n_docs) if n_docs is not None else None
+    """Install a trained vocabulary (apps/train_vocab.py output) for its
+    word count — the analog of loading the reference's pre-trained .yml
+    files (config.cpp:59-60). Active for configs whose ``vocab_k`` equals
+    the trained word count (see :func:`active_vocab`). Optional
+    ``df_p/df_l/n_docs`` freeze the idf at the trained values."""
+    global VOCAB_SOURCE
+    vp = np.asarray(vocab_p, np.uint32)
+    _TRAINED[vp.shape[0]] = dict(
+        vp=vp, vl=np.asarray(vocab_l, np.uint32),
+        df_p=np.asarray(df_p, np.float32) if df_p is not None else None,
+        df_l=np.asarray(df_l, np.float32) if df_l is not None else None,
+        n_docs=float(n_docs) if n_docs is not None else None)
     VOCAB_SOURCE = "set_vocab()"
     insert_kf_bow.clear_cache()
 

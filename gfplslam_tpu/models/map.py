@@ -35,6 +35,13 @@ from gfplslam_tpu.utils import se3
 
 CHI2_2DOF = 7.815  # 95% gate used throughout the reference (:265, :403)
 DESC_HIST = 4      # recent observations kept per landmark for the medoid
+# descriptor-distance caps on landmark association (the reference gates both
+# families on descriptor thresholds, mapHandler.cpp:265/631-771): a
+# geometrically-plausible but wrong feature must not attach to a landmark
+# with an arbitrarily bad descriptor. 256-bit ORB/LBD; lines are slightly
+# less distinctive so their cap is looser.
+MAX_HAMMING_PT = 80
+MAX_HAMMING_LN = 96
 
 
 class MapState(NamedTuple):
@@ -196,7 +203,7 @@ def _match_frame_to_map(cfg: Config, m: MapState, frame: StereoFrame,
         idx=jnp.argmin(d, 1),
         dist=jnp.min(d, 1),
         valid=f.valid & (jnp.min(d, 1) < big))
-    mm = mm._replace(valid=mm.valid & (mm.dist < 80))
+    mm = mm._replace(valid=mm.valid & (mm.dist < MAX_HAMMING_PT))
     mm = match_ops.dedup_per_target(mm, m.pt_pos.shape[0])
     pt_lm = jnp.where(mm.valid, mm.idx, -1)
 
@@ -222,6 +229,7 @@ def _match_frame_to_map(cfg: Config, m: MapState, frame: StereoFrame,
     lm_m = match_ops.Matches(
         idx=jnp.argmin(dl, 1), dist=jnp.min(dl, 1),
         valid=fl.valid & (jnp.min(dl, 1) < big))
+    lm_m = lm_m._replace(valid=lm_m.valid & (lm_m.dist < MAX_HAMMING_LN))
     lm_m = match_ops.dedup_per_target(lm_m, m.ln_sp.shape[0])
     ln_lm = jnp.where(lm_m.valid, lm_m.idx, -1)
 
@@ -582,7 +590,10 @@ def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
     landmark-sharded solver when more than one device is available.
 
     Returns (problem, window_kf_ids [Kw], window_pt_ids [Pw],
-    window_ln_ids [Lw]) for scattering results back.
+    window_ln_ids [Lw], po_src [Op], lo_src [Ol]) for scattering results
+    back; ``po_src``/``lo_src`` map each problem observation to its map
+    observation-ring slot (-1 = padding) so post-BA outlier marks can be
+    applied to the ring (:func:`apply_ba_outliers`).
     """
     cap = cfg.cap
     kw = window or (cap.n_kf_max if global_ba else cap.n_kf_window)
@@ -683,7 +694,9 @@ def build_local_ba_problem(cfg: Config, m: MapState, window: int = 0,
         lo_le=m.lo_le[lo_i], lo_sigma2=m.lo_sigma2[lo_i],
         lo_valid=lo_ok,
     )
-    return prob, win_ids, p_ids, l_ids
+    po_src = jnp.where(po_ok, po_i, -1).astype(jnp.int32)
+    lo_src = jnp.where(lo_ok, lo_i, -1).astype(jnp.int32)
+    return prob, win_ids, p_ids, l_ids, po_src, lo_src
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -701,3 +714,53 @@ def apply_ba_result(cfg: Config, m: MapState, res, win_ids, p_ids, l_ids
     ln_ep = m.ln_ep.at[l_dst].set(res.ln_ep, mode="drop")
     return m._replace(kf_pose=kf_pose, pt_pos=pt_pos, ln_sp=ln_sp,
                       ln_ep=ln_ep)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def apply_ba_outliers(cfg: Config, m: MapState, res, po_src: jax.Array,
+                      lo_src: jax.Array) -> MapState:
+    """Delete the observations BA marked as outliers
+    (mapHandler.cpp:1714-1836): invalidate their obs-ring entries, decrement
+    the affected landmarks' observation counts, and decrement the
+    covisibility pair counts those observations contributed. Outlier
+    associations otherwise persist in the ring forever and keep feeding
+    every later window solve.
+
+    ``po_src``/``lo_src`` are the ring slots of the problem's observations
+    (from :func:`build_local_ba_problem`); ``res.po_inlier``/``lo_inlier``
+    are the solver's post-convergence chi2 marks."""
+    def one_family(src, inlier, obs_valid, obs_lm, obs_kf, lm_obs_n, n_lm):
+        cap = obs_valid.shape[0]
+        out = (src >= 0) & ~inlier                     # [Op_problem]
+        dst = jnp.where(out, src, cap)
+        new_valid = obs_valid.at[dst].set(False, mode="drop")
+        # landmark obs-count decrement
+        lm_of = obs_lm[jnp.where(out, src, 0)]
+        dec_dst = jnp.where(out, lm_of, n_lm)
+        obs_n = lm_obs_n.at[dec_dst].add(-1, mode="drop")
+        # covisibility: per-landmark KF occupancy before/after deletion;
+        # the symmetrized pair-count loss is P_prev P_prev^T - P_new P_new^T
+        k = m.full_graph.shape[0]
+        occ_prev = jnp.zeros(n_lm * k).at[
+            jnp.where(obs_valid, obs_lm * k + obs_kf, n_lm * k)
+        ].max(1.0, mode="drop").reshape(n_lm, k)
+        occ_new = jnp.zeros(n_lm * k).at[
+            jnp.where(new_valid, obs_lm * k + obs_kf, n_lm * k)
+        ].max(1.0, mode="drop").reshape(n_lm, k)
+        dec_sym = occ_prev.T @ occ_prev - occ_new.T @ occ_new
+        return new_valid, obs_n, dec_sym
+
+    po_valid, pt_obs_n, dec_p = one_family(
+        po_src, res.po_inlier, m.po_valid, m.po_lm, m.po_kf, m.pt_obs_n,
+        m.pt_pos.shape[0])
+    lo_valid, ln_obs_n, dec_l = one_family(
+        lo_src, res.lo_inlier, m.lo_valid, m.lo_lm, m.lo_kf, m.ln_obs_n,
+        m.ln_sp.shape[0])
+    # full_graph stores each pair count in ONE orientation (insertion writes
+    # the [newer, older] row; usage symmetrizes, local_kf_mask): subtract the
+    # strictly-lower triangle of the symmetric loss so the symmetrized total
+    # stays exact regardless of which orientation held the original count.
+    dec = jnp.tril(dec_p + dec_l, k=-1).astype(jnp.int32)
+    return m._replace(po_valid=po_valid, lo_valid=lo_valid,
+                      pt_obs_n=pt_obs_n, ln_obs_n=ln_obs_n,
+                      full_graph=m.full_graph - dec)

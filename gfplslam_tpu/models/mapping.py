@@ -54,12 +54,16 @@ def mapping_step(cfg: Config, m: map_ops.MapState, ls: loop_ops.LoopState,
     ba_err = jnp.asarray(0.0)
     ba_iters = jnp.asarray(0, jnp.int32)
     if run_ba:
-        prob, w_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+        prob, w_ids, p_ids, l_ids, po_src, lo_src = \
+            map_ops.build_local_ba_problem(cfg, m)
         res = ba_ops.solve_ba(cfg.camera, prob,
                               lambda0=cfg.slam.lambda_lba_lm,
                               lambda_k=cfg.slam.lambda_lba_k,
                               max_iters=cfg.slam.max_iters_lba)
         m = map_ops.apply_ba_result(cfg, m, res, w_ids, p_ids, l_ids)
+        # delete the observations BA marked as outliers (the reference's
+        # post-BA obs deletion, mapHandler.cpp:1714-1836)
+        m = map_ops.apply_ba_outliers(cfg, m, res, po_src, lo_src)
         ba_err = res.err
         ba_iters = res.iters
     m = map_ops.remove_bad_landmarks(cfg, m)

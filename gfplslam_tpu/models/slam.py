@@ -42,7 +42,10 @@ class SLAMSystem:
     # following frames) and their host-visible decisions (tracker rebase,
     # LC state machine) are harvested at KF k+1, so tracking never blocks
     # on mapping. Loop closures land one KF later than in sync mode.
-    async_mapping: bool = False
+    # DEFAULT ON (parity with sync covered by
+    # tests/test_slam_loop_e2e.py::test_async_mapping_matches_sync);
+    # pass async_mapping=False / --sync for the blocking driver.
+    async_mapping: bool = True
     vo: VisualOdometry = None
     map: map_ops.MapState = None
     loop_state: loop_ops.LoopState = None
@@ -221,23 +224,36 @@ class SLAMSystem:
             self.loop_state.n_snapshot_dropped)
         if run_global_ba and int(self.map.n_kf) >= 2:
             import jax
-            prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
+            (prob, win_ids, p_ids, l_ids, po_src,
+             lo_src) = map_ops.build_local_ba_problem(
                 self.cfg, self.map, global_ba=True)
             n_dev = len(jax.devices())
             if n_dev > 1:
                 from gfplslam_tpu.parallel import dist_ba
                 mesh = dist_ba.make_mesh(n_dev)
-                sharded = dist_ba.shard_problem_by_landmark(prob, n_dev)
+                sharded, po_perm, lo_perm = dist_ba.shard_problem_by_landmark(
+                    prob, n_dev, return_perm=True)
                 res = dist_ba.solve_ba_sharded(
                     self.cfg.camera, sharded, mesh,
                     lambda0=self.cfg.slam.lambda_lba_lm,
                     lambda_k=self.cfg.slam.lambda_lba_k,
                     max_iters=self.cfg.slam.max_iters_lba)
+                # map the sharded solve's outlier marks back onto the
+                # original problem's observation order (rebin permutation)
+                po_in = jnp.ones(prob.po_kf.shape[0], bool).at[
+                    jnp.where(po_perm >= 0, po_perm,
+                              prob.po_kf.shape[0])].set(
+                    res.po_inlier, mode="drop")
+                lo_in = jnp.ones(prob.lo_kf.shape[0], bool).at[
+                    jnp.where(lo_perm >= 0, lo_perm,
+                              prob.lo_kf.shape[0])].set(
+                    res.lo_inlier, mode="drop")
                 # crop the shard padding back to the problem's pool sizes
                 res = res._replace(
                     pt_pos=res.pt_pos[:p_ids.shape[0]],
                     ln_sp=res.ln_sp[:l_ids.shape[0]],
-                    ln_ep=res.ln_ep[:l_ids.shape[0]])
+                    ln_ep=res.ln_ep[:l_ids.shape[0]],
+                    po_inlier=po_in, lo_inlier=lo_in)
             else:
                 res = ba_ops.solve_ba(self.cfg.camera, prob,
                                       lambda0=self.cfg.slam.lambda_lba_lm,
@@ -245,6 +261,9 @@ class SLAMSystem:
                                       max_iters=self.cfg.slam.max_iters_lba)
             self.map = map_ops.apply_ba_result(self.cfg, self.map, res,
                                                win_ids, p_ids, l_ids)
+            # post-BA outlier-observation deletion (mapHandler.cpp:1714-1836)
+            self.map = map_ops.apply_ba_outliers(self.cfg, self.map, res,
+                                                 po_src, lo_src)
 
     def save(self, path: str) -> None:
         """Checkpoint the full map + loop + tracker state (capability the

@@ -46,11 +46,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "lm") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def shard_problem_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
+def shard_problem_by_landmark(prob: BAProblem, n_shards: int,
+                              return_perm: bool = False):
     """Reorder + pad the problem so landmark blocks and their observations
     partition evenly into ``n_shards`` contiguous blocks (host-side, once
     per window). Observations of landmark slot i go to shard i % n_shards
-    after a stable re-binning of landmark slots."""
+    after a stable re-binning of landmark slots.
+
+    With ``return_perm``, also returns (po_perm, lo_perm): for each sharded
+    observation slot, the ORIGINAL problem index it came from (-1 = padding)
+    — needed to map the sharded solve's outlier marks back onto the
+    original problem's observation order."""
     def pad_to(x, n):
         pad = n - x.shape[0]
         return np.pad(np.asarray(x), [(0, pad)] + [(0, 0)] * (x.ndim - 1))
@@ -107,16 +113,20 @@ def shard_problem_by_landmark(prob: BAProblem, n_shards: int) -> BAProblem:
                             .astype(np.float32)),
                 jnp.asarray(np.where(ok, np.asarray(sigma2)[safe], 1)
                             .astype(np.float32)),
-                jnp.asarray(ok & np.where(ok, valid[safe], False)))
+                jnp.asarray(ok & np.where(ok, valid[safe], False)),
+                jnp.asarray(np.where(ok, out_idx, -1).astype(np.int32)))
 
     po = rebin(prob.po_kf, prob.po_lm, prob.po_uv, prob.po_sigma2,
                prob.po_valid, p_pad, op_pad)
     lo = rebin(prob.lo_kf, prob.lo_lm, prob.lo_le, prob.lo_sigma2,
                prob.lo_valid, l_pad, ol_pad)
-    return new._replace(po_kf=po[0], po_lm=po[1], po_uv=po[2],
-                        po_sigma2=po[3], po_valid=po[4],
-                        lo_kf=lo[0], lo_lm=lo[1], lo_le=lo[2],
-                        lo_sigma2=lo[3], lo_valid=lo[4])
+    sharded = new._replace(po_kf=po[0], po_lm=po[1], po_uv=po[2],
+                           po_sigma2=po[3], po_valid=po[4],
+                           lo_kf=lo[0], lo_lm=lo[1], lo_le=lo[2],
+                           lo_sigma2=lo[3], lo_valid=lo[4])
+    if return_perm:
+        return sharded, po[5], lo[5]
+    return sharded
 
 
 @partial(jax.jit, static_argnames=("cam", "mesh", "max_iters"))
@@ -179,8 +189,18 @@ def solve_ba_sharded(cam: CameraParams, prob: BAProblem, mesh: Mesh,
             dx_cam = ba_core.camera_solve(s_full, rhs, kf_opt, lam)
             dx_pt, dx_ln = ba_core.back_substitute(bk, hpp_inv, hll_inv,
                                                    dx_cam)
-            return ba_core.retract(bk, t_cw, pt, lsp, lep,
-                                   dx_cam, dx_pt, dx_ln)
+            t_new, pt_new, sp_new, ep_new = ba_core.retract(
+                bk, t_cw, pt, lsp, lep, dx_cam, dx_pt, dx_ln)
+            # per-landmark acceptance — shard-local (landmarks and their
+            # observations live on the same shard, no collective needed)
+            pt_f, sp_f, ep_f = ba_core.accept_landmarks(
+                sel, lp,
+                ba_ref._point_chi2(cam, t_new, lp, pt),
+                ba_ref._point_chi2(cam, t_new, lp, pt_new),
+                ba_ref._line_chi2(cam, t_new, lp, lsp, lep),
+                ba_ref._line_chi2(cam, t_new, lp, sp_new, ep_new),
+                pt, pt_new, lsp, sp_new, lep, ep_new)
+            return t_new, pt_f, sp_f, ep_f
 
         def cond(c):
             return (c[4] < max_iters) & jnp.logical_not(c[5])

@@ -75,7 +75,7 @@ def main():
 
     ms["build_ba_problem"] = timeit(
         lambda: map_ops.build_local_ba_problem(cfg, m))
-    prob, w_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+    prob, w_ids, p_ids, l_ids, _, _ = map_ops.build_local_ba_problem(cfg, m)
     ms["solve_ba"] = timeit(
         lambda: ba_ops.solve_ba(cam, prob, lambda0=cfg.slam.lambda_lba_lm,
                                 lambda_k=cfg.slam.lambda_lba_k,

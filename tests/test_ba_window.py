@@ -62,7 +62,7 @@ def test_frozen_slots_present(world_frames):
     cfg = _cfg(4)
     world, fs = world_frames
     m = _build_map(cfg, world, fs)
-    prob, win_ids, _, _ = map_ops.build_local_ba_problem(cfg, m)
+    prob, win_ids, _, _, _, _ = map_ops.build_local_ba_problem(cfg, m)
     kw = cfg.cap.n_kf_window
     valid = np.asarray(prob.kf_valid)
     free = np.asarray(prob.kf_free)
@@ -94,7 +94,7 @@ def test_anchors_hold_landmarks(world_frames):
         m = m._replace(pt_pos=m.pt_pos + jnp.asarray(noise)
                        * m.pt_valid[:, None])
         for _ in range(3):
-            prob, w_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+            prob, w_ids, p_ids, l_ids, _, _ = map_ops.build_local_ba_problem(cfg, m)
             res = ba_ops.solve_ba(cfg.camera, prob, max_iters=10)
             m = map_ops.apply_ba_result(cfg, m, res, w_ids, p_ids, l_ids)
         err = np.linalg.norm(np.asarray(m.pt_pos) - orig_pt, axis=1)
@@ -102,3 +102,43 @@ def test_anchors_hold_landmarks(world_frames):
     # anchored solve recovers the original landmark geometry better
     assert final_err[4] < final_err[0], final_err
     assert np.isfinite(final_err[4])
+
+
+def test_ba_outlier_obs_deleted(world_frames):
+    """An injected wrong association is marked outlier by BA and deleted
+    from the map (obs invalidated, landmark obs count decremented, excluded
+    from the next window's problem) — the reference's post-BA observation
+    deletion (mapHandler.cpp:1714-1836)."""
+    cfg = _cfg(4)
+    world, fs = world_frames
+    m = _build_map(cfg, world, fs)
+
+    # corrupt one in-window observation: shift its uv far off (a wrong
+    # data association), pick a well-observed landmark's newest obs
+    po_valid = np.asarray(m.po_valid)
+    po_kf = np.asarray(m.po_kf)
+    po_lm = np.asarray(m.po_lm)
+    obs_n = np.asarray(m.pt_obs_n)
+    cand = np.where(po_valid & (po_kf == N_KF - 1)
+                    & (obs_n[po_lm] >= 4))[0]
+    assert cand.size > 0
+    slot = int(cand[0])
+    lm = int(po_lm[slot])
+    n_before = int(obs_n[lm])
+    m = m._replace(po_uv=m.po_uv.at[slot].add(jnp.asarray([55.0, -40.0])))
+
+    prob, w_ids, p_ids, l_ids, po_src, lo_src = \
+        map_ops.build_local_ba_problem(cfg, m)
+    assert slot in np.asarray(po_src), "corrupted obs not in the window"
+    res = ba_ops.solve_ba(cfg.camera, prob, max_iters=10)
+    # the corrupted obs must be marked outlier
+    j = int(np.where(np.asarray(po_src) == slot)[0][0])
+    assert not bool(res.po_inlier[j])
+    m = map_ops.apply_ba_result(cfg, m, res, w_ids, p_ids, l_ids)
+    m = map_ops.apply_ba_outliers(cfg, m, res, po_src, lo_src)
+
+    assert not bool(m.po_valid[slot]), "outlier obs still valid in the ring"
+    assert int(m.pt_obs_n[lm]) == n_before - 1
+    # the next window's problem no longer contains it
+    _, _, _, _, po_src2, _ = map_ops.build_local_ba_problem(cfg, m)
+    assert slot not in np.asarray(po_src2)

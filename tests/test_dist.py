@@ -135,7 +135,7 @@ def test_global_ba_sharded_matches_dense_over_64_kfs(mesh):
         camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
                             cx=183.7, cy=126.1, baseline=0.11))
     m = _fabricate_map(cfg, n_kf=80, n_pt=96)
-    prob, w_ids, p_ids, l_ids = map_ops.build_local_ba_problem(
+    prob, w_ids, p_ids, l_ids, _, _ = map_ops.build_local_ba_problem(
         cfg, m, global_ba=True)
     assert int(np.asarray(prob.kf_valid).sum()) == 80
 

@@ -119,3 +119,20 @@ def test_timestamp_pairing():
     assert (0, 0) in pairs and (1, 1) in pairs
     assert all(j != 2 or i == 3 for i, j in pairs) is not None
     assert (2, 2) not in pairs  # 0.10 vs 0.2 beyond 3 ms
+
+
+def test_gazebo_loader(tmp_path):
+    """Gazebo layout (batch_script/Run_Gazebo.py + gazebo_params.yaml):
+    cam0/data + cam1/data, ideal-pinhole 640x480 rig, baseline 0.1 m."""
+    from gfplslam_tpu.io.datasets import load_gazebo
+    for cam in ("cam0", "cam1"):
+        d = tmp_path / cam / "data"
+        d.mkdir(parents=True)
+        for i in range(3):
+            (d / f"{int(1e9 * 0.05 * i):019d}.png").write_bytes(b"x")
+    seq = load_gazebo(str(tmp_path))
+    assert len(seq.paths_l) == 3 and len(seq.paths_r) == 3
+    assert seq.cam.width == 640 and seq.cam.height == 480
+    assert abs(seq.cam.fx - 554.25626) < 1e-5
+    assert abs(seq.cam.baseline - 0.1) < 1e-9
+    assert abs(seq.timestamps[1] - 0.05) < 1e-6

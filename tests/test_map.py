@@ -70,7 +70,7 @@ def test_local_ba_problem_shapes(cfg, frames):
         t_rel = np.linalg.inv(world.poses[i - 1]) @ world.poses[i]
         m, _ = map_ops.add_keyframe(cfg, m, fs[i],
                                     jnp.asarray(t_rel.astype(np.float32)))
-    prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+    prob, win_ids, p_ids, l_ids, _, _ = map_ops.build_local_ba_problem(cfg, m)
     win = np.asarray(win_ids)
     assert set(win[win >= 0]) == {0, 1, 2}
     # gauge: exactly one window KF is frozen
@@ -92,7 +92,7 @@ def test_local_ba_improves_or_keeps_map(cfg, frames):
         t_rel = np.linalg.inv(world.poses[i - 1]) @ world.poses[i]
         m, _ = map_ops.add_keyframe(cfg, m, fs[i],
                                     jnp.asarray(t_rel.astype(np.float32)))
-    prob, win_ids, p_ids, l_ids = map_ops.build_local_ba_problem(cfg, m)
+    prob, win_ids, p_ids, l_ids, _, _ = map_ops.build_local_ba_problem(cfg, m)
     res = ba_ops.solve_ba(cfg.camera, prob, max_iters=10)
     assert np.isfinite(float(res.err))
     m2 = map_ops.apply_ba_result(cfg, m, res, win_ids, p_ids, l_ids)
@@ -101,6 +101,24 @@ def test_local_ba_improves_or_keeps_map(cfg, frames):
     for i in range(4):
         d = np.asarray(m2.kf_pose[i]) - np.asarray(m.kf_pose[i])
         assert np.abs(d).max() < 0.5
+
+
+def test_line_association_descriptor_cap(cfg, frames):
+    """A geometrically-collinear line with a wrong descriptor must NOT
+    associate to a line landmark (mapHandler.cpp:631-771 descriptor
+    thresholds): the chi2 geometry gate alone would accept it."""
+    world, fs = frames
+    m = map_ops.empty_map(cfg)
+    m = map_ops.initialize_map(cfg, m, fs[0])
+    f = fs[0]
+    match = map_ops._match_frame_to_map(
+        cfg, m, f, jnp.eye(4), m.pt_valid, m.ln_valid)
+    assert int(match.n_ln_matched) > 0  # same frame re-associates
+    # same geometry, inverted descriptor bits (Hamming distance 256)
+    bad = f._replace(lines=f.lines._replace(desc=~f.lines.desc))
+    match2 = map_ops._match_frame_to_map(
+        cfg, m, bad, jnp.eye(4), m.pt_valid, m.ln_valid)
+    assert int(match2.n_ln_matched) == 0, int(match2.n_ln_matched)
 
 
 def test_remove_bad_landmarks(cfg, frames):

@@ -26,7 +26,16 @@ from gfplslam_tpu.models import loop as loop_ops
 from gfplslam_tpu.models.slam import SLAMSystem
 from gfplslam_tpu.utils.trajectory import ate_rmse
 
-N_FRAMES = 24
+# 40 frames (~14 KFs at max_kf_num_frames=2): the loop-candidate gate needs
+# n_far > lc_kf_max_dist far keyframes, which a 24-frame sequence (~8 KFs at
+# lc_kf_dist=6) can never produce — root cause of the round-3 "0 loop
+# closures" failure; at 40 frames the trained-vocab textured revisit
+# verifies and closes (reproduced at reduced scale before committing).
+N_FRAMES = 40
+
+pytestmark = pytest.mark.slow  # >1 h of XLA compiles on the CPU fixture;
+# the same code paths run at reduced shapes in the default tier
+# (tests/test_slam_loop_e2e.py::test_file_backed_loop_reduced)
 
 
 def _write_pgm(path: str, img: np.ndarray) -> None:

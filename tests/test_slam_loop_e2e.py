@@ -146,6 +146,65 @@ def test_async_mapping_matches_sync(world, slam_lc, slam_async):
         slam_lc.keyframe_trajectory)
 
 
+def _write_pgm(path, img):
+    arr = np.clip(np.round(img), 0, 255).astype(np.uint8)
+    h, w = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(arr.tobytes())
+
+
+def test_file_backed_loop_reduced(cfg, tmp_path):
+    """Default-tier variant of the full-capacity file-backed e2e
+    (tests/test_slam_full_capacity_e2e.py, slow tier): textured raycast
+    frames written as PGM, decoded by the native C++ loader with exact
+    parity, driven through the TRAINED-vocabulary SLAM system (vocab_k=128
+    — trained codebook shipped as data/vocab_synth_128.npz), loop closure
+    verified on the revisit."""
+    from gfplslam_tpu.io import native_loader
+    from gfplslam_tpu.models import loop as loop_ops
+    if not native_loader.native_available():
+        pytest.skip("native dataloader not built")
+    assert cfg.cap.vocab_k in loop_ops._TRAINED, \
+        "128-word trained vocabulary missing — reduced tier would fall " \
+        "back to random anchors"
+
+    n = N_FRAMES
+    world = synthetic.make_world(n_frames=n, n_points=400, n_lines=50,
+                                 seed=21, motion="loop", cam=cfg.camera,
+                                 textured=True)
+    paths_l, paths_r, rendered = [], [], []
+    for i in range(n):
+        il, ir = synthetic.render_frame(world, i, noise=1.0)
+        pl = str(tmp_path / f"l_{i:04d}.pgm")
+        pr = str(tmp_path / f"r_{i:04d}.pgm")
+        _write_pgm(pl, il)
+        _write_pgm(pr, ir)
+        paths_l.append(pl)
+        paths_r.append(pr)
+        rendered.append((np.round(np.clip(il, 0, 255)),
+                         np.round(np.clip(ir, 0, 255))))
+
+    loader = native_loader.StereoLoader(paths_l, paths_r, cfg.camera.width,
+                                        cfg.camera.height, n_threads=2,
+                                        queue_depth=4)
+    decoded = [None] * n
+    for k, il, ir in loader:
+        decoded[k] = (il, ir)
+    for k in range(n):
+        np.testing.assert_array_equal(decoded[k][0], rendered[k][0])
+        np.testing.assert_array_equal(decoded[k][1], rendered[k][1])
+
+    slam = SLAMSystem(cfg)
+    for i in range(n):
+        slam.process(decoded[i][0], decoded[i][1], world.timestamps[i])
+    slam.finish()
+    assert not slam.vo.lost
+    ate = ate_rmse(slam.all_frame_trajectory, world.poses)
+    assert ate < 0.25, ate
+    assert slam.n_loop_closures >= 1
+
+
 def test_kf_trajectory_reflects_correction(world, slam_lc, slam_nolc):
     """The written KF trajectory must come from the optimized map — i.e.
     differ between the LC and no-LC runs (plslam_mod.cpp:538-566 writes map
