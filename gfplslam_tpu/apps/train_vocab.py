@@ -88,9 +88,17 @@ def harvest_descriptors(args):
         cap=CapacityParams(n_pt=256, n_ln=128), orb=OrbParams(nlevels=2),
         camera=CameraParams(width=376, height=240, fx=217.6, fy=217.6,
                             cx=183.7, cy=126.1, baseline=0.11))
-    worlds = [synthetic.make_world(n_frames=args.frames, seed=s,
-                                   motion=m, n_points=500, n_lines=60)
-              for s, m in ((17, "forward"), (41, "orbit"), (73, "loop"))]
+    # diverse corpus: three motions x blob tier + textured raycast tier +
+    # extra scene seeds (cross-SCENE discrimination needs words that split
+    # scenes, not only viewpoints — a narrow corpus overfits common
+    # texture statistics and scores unrelated scenes high)
+    specs = [(17, "forward", False), (41, "orbit", False),
+             (73, "loop", False), (21, "loop", True), (55, "forward", True),
+             (8, "forward", False), (99, "forward", False)]
+    worlds = [synthetic.make_world(n_frames=args.frames, seed=s, motion=m,
+                                   n_points=400, n_lines=50,
+                                   cam=cfg.camera, textured=tex)
+              for s, m, tex in specs]
     pt_desc, ln_desc = [], []
     for world in worlds:
         for i in range(0, args.frames, 2):
@@ -115,8 +123,8 @@ def main(argv=None):
 
     pt_desc, ln_desc, pt_docs, ln_docs = harvest_descriptors(args)
     print(f"harvested {len(pt_desc)} point / {len(ln_desc)} line descriptors")
-    vp = kmajority(pt_desc, args.words)
-    vl = kmajority(ln_desc, min(args.words, max(16, len(ln_desc) // 4)))
+    vp = kmajority(pt_desc, args.words, iters=20)
+    vl = kmajority(ln_desc, min(args.words, max(16, len(ln_desc) // 4)), iters=20)
     if len(vl) < args.words:  # pad with random anchors to the word count
         rng = np.random.default_rng(5)
         pad = rng.integers(0, 2 ** 32, size=(args.words - len(vl), 8),

@@ -89,17 +89,21 @@ def _per_level_slots(n_slots: int, nlevels: int, scale: float) -> list[int]:
     return [int(x) for x in raw]
 
 
-def detect_point_features(img: jax.Array, cfg: Config, fast_th: jax.Array):
+def detect_point_features(img: jax.Array, cfg: Config, fast_th: jax.Array,
+                          pyr: jax.Array | None = None):
     """Pyramid + FAST + orientation + descriptors for one camera image
     (detectPointFeatures -> ORBextractor, stereoFrame.cpp:1125-1153).
     Returns (pt_xy, pt_level, pt_angle, pt_desc, pt_score, pt_valid). All
     pyramid levels run as ONE vmapped program over zero-padded same-shape
-    levels (compile-size + batching win over per-level inlining)."""
+    levels (compile-size + batching win over per-level inlining).
+    ``pyr`` lets callers that already built the padded pyramid (the stereo
+    front-end reuses it for sub-pixel refinement) share it."""
     cap = cfg.cap
     orb_cfg = cfg.orb
     nlv = orb_cfg.nlevels
     h, w = img.shape
-    pyr = build_pyramid_padded(img, nlv, orb_cfg.scale_factor)  # [L,H,W]
+    if pyr is None:
+        pyr = build_pyramid_padded(img, nlv, orb_cfg.scale_factor)  # [L,H,W]
     shapes = level_shapes(h, w, nlv, orb_cfg.scale_factor)
     vh = jnp.asarray([s[0] for s in shapes])
     vw = jnp.asarray([s[1] for s in shapes])
@@ -114,13 +118,26 @@ def detect_point_features(img: jax.Array, cfg: Config, fast_th: jax.Array):
             border=orb_cfg.edge_th, valid_h=vh_i, valid_w=vw_i)
         blur = gaussian_blur(lv_img)
         ang = orb_ops.ic_angles_dense(blur, kp.xy)
-        # gather-pool BRIEF: measured FASTER than the patch-extraction
-        # variant on TPU (the 39x39 block slices move 4x the bytes of the
-        # 375 random gathers; see orb.brief_descriptors_patch)
-        desc = orb_ops.brief_descriptors(blur, kp.xy, ang)
-        return kp, ang, desc
+        # MXU-binned BRIEF (orb.brief_descriptors_mxu design note): only
+        # the patch extraction happens per level; the selector matmul runs
+        # ONCE over all levels' concatenated patches (MXU efficiency).
+        pf = orb_ops.brief_patches(blur, kp.xy)
+        return kp, ang, pf
 
-    kps, angs, descs = jax.vmap(per_level)(pyr, vh, vw)
+    # level 0 at its true shape; levels 1+ padded only to the LEVEL-1 shape
+    # (full-shape padding made the dense FAST/blur maps pay 4.0x the level-0
+    # area instead of 2.6x — ~35% of the detection stage was zero pixels)
+    out0 = per_level(pyr[0], vh[0], vw[0])
+    if nlv > 1:
+        h1, w1 = shapes[1]
+        pyr_small = pyr[1:, :h1, :w1]
+        outs = jax.vmap(per_level)(pyr_small, vh[1:], vw[1:])
+        kps, angs, pfs = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b]), out0, outs)
+    else:
+        kps, angs, pfs = jax.tree.map(lambda a: a[None], out0)
+    descs = orb_ops.brief_from_patches(
+        pfs.reshape(nlv * slots, -1), angs.reshape(-1)).reshape(nlv, slots, -1)
     scale_l = orb_cfg.scale_factor ** jnp.arange(nlv, dtype=jnp.float32)
     lvl = jnp.repeat(jnp.arange(nlv, dtype=jnp.int32), slots)
     pad = cap.n_pt - nlv * slots
@@ -154,7 +171,8 @@ def describe_line_segments(img: jax.Array, sp: jax.Array, ep: jax.Array):
 
 
 def detect_camera_features(img: jax.Array, cfg: Config,
-                           fast_th: jax.Array) -> CameraFeatures:
+                           fast_th: jax.Array,
+                           pyr: jax.Array | None = None) -> CameraFeatures:
     """Points (all pyramid levels) + lines for one camera image.
 
     Replaces detectFeatures/detectPointFeatures/detectLineFeatures
@@ -163,7 +181,7 @@ def detect_camera_features(img: jax.Array, cfg: Config,
     fused here into one program).
     """
     xy0, lvl, angs, descs, score, valid = detect_point_features(
-        img, cfg, fast_th)
+        img, cfg, fast_th, pyr)
     lines = detect_line_segments(img, cfg)
     ln_desc = describe_line_segments(img, lines.sp, lines.ep)
 
@@ -400,13 +418,14 @@ def process_stereo_pair(img_l: jax.Array, img_r: jax.Array, cfg: Config,
     """The whole front-end for one rectified stereo pair in one device call
     (extractStereoFeatures_ORBSLAM, stereoFrame.cpp:411-767)."""
     cam = cfg.camera
-    feats = jax.vmap(lambda im: detect_camera_features(im, cfg, fast_th))(
-        jnp.stack([img_l, img_r]))
-    feat_l = jax.tree.map(lambda x: x[0], feats)
-    feat_r = jax.tree.map(lambda x: x[1], feats)
+    # ONE pyramid per camera, shared by detection and sub-pixel refinement
     pyrs = jax.vmap(lambda im: build_pyramid_padded(
         im, cfg.orb.nlevels, cfg.orb.scale_factor))(
         jnp.stack([img_l, img_r]))
+    feats = jax.vmap(lambda im, py: detect_camera_features(
+        im, cfg, fast_th, py))(jnp.stack([img_l, img_r]), pyrs)
+    feat_l = jax.tree.map(lambda x: x[0], feats)
+    feat_r = jax.tree.map(lambda x: x[1], feats)
     pts = stereo_match_points(cam, cfg, feat_l, feat_r, pyrs[0], pyrs[1])
     lns = stereo_match_lines(cam, cfg, feat_l, feat_r)
     return StereoFrame(points=pts, lines=lns, feat_l=feat_l)

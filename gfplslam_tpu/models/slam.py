@@ -146,7 +146,8 @@ class SLAMSystem:
         if cand >= 0 and ver is not None and bool(ver.accepted):
             verified = True
             self.lc_consecutive += 1
-            self.lc_pending.append((cand, kf_curr, np.asarray(ver.t_rel)))
+            self.lc_pending.append((cand, kf_curr, np.asarray(ver.t_rel),
+                                    float(ver.err)))
             self.lc_status = LC_ACTIVE
         if not verified and self.lc_status == LC_ACTIVE:
             # the car has passed the already-visited street: close now
@@ -157,6 +158,18 @@ class SLAMSystem:
     def _close_loop(self):
         if not self.lc_pending:
             return
+        # verification GN error tracks constraint quality (measured: err
+        # 1.13 <-> 1.03 m translation error, err 0.25 <-> 0.09 m on the
+        # same revisit); constraints much worse than the best verified one
+        # are dropped before they enter the pose graph as identity-weighted
+        # edges.
+        best_err = min(p[3] for p in self.lc_pending)
+        keep = [p for p in self.lc_pending
+                if p[3] <= max(2.0 * best_err, best_err + 0.1)]
+        self.counters["lc_constraints_dropped"] = (
+            self.counters.get("lc_constraints_dropped", 0)
+            + len(self.lc_pending) - len(keep))
+        self.lc_pending = keep
         m = self.map
         # LC edge measurements: T_prev^-1 T_curr = inverse of each verified
         # T_curr<-prev mapped into pose-graph convention
@@ -165,23 +178,30 @@ class SLAMSystem:
         lc_t = jnp.asarray(np.stack(
             [np.linalg.inv(p[2]).astype(np.float32)
              for p in self.lc_pending]))
-        kf_prev, kf_curr, _ = self.lc_pending[0]
+        kf_prev, kf_curr = self.lc_pending[0][0], self.lc_pending[0][1]
         edges = loop_ops.build_edges(
             m.kf_pose, m.kf_valid, m.full_graph,
             self.cfg.slam.min_lm_ess_graph,
             lc_i, lc_j, lc_t,
             max_edges=int(m.kf_pose.shape[0] * 4))
-        # the reference seeds each LC current-KF at the constraint-implied
-        # pose and FIXES it, along with the loop target and KF0
-        # (loopClosureOptimization*G2O vertex setup, mapHandler.cpp:4005-4025)
-        # — PGO then bends the chain between the fixed endpoints
+        # The reference seeds each LC current-KF at the constraint-implied
+        # pose (loopClosureOptimization*G2O vertex setup,
+        # mapHandler.cpp:4005-4025). Hard-fixing EVERY constraint's KF bakes
+        # the WORST verification's error into the chain (measured: a
+        # 0.15 m-off constraint with GN err 0.84 alongside a 2 mm one with
+        # err 0.002); verification error tracks constraint quality, so all
+        # currents are seeded but only the BEST-error constraint's KF is
+        # fixed — the rest stay soft pose-graph edges.
         kf_pose = m.kf_pose
         fixed = jnp.zeros(kf_pose.shape[0], bool).at[0].set(True)
-        for (p_i, c_i, t_rel_i) in self.lc_pending:
+        best_err = min(p[3] for p in self.lc_pending)
+        for (p_i, c_i, t_rel_i, v_err) in self.lc_pending:
             corrected = np.asarray(kf_pose[p_i]) @ np.linalg.inv(t_rel_i)
             kf_pose = kf_pose.at[c_i].set(
                 jnp.asarray(corrected.astype(np.float32)))
-            fixed = fixed.at[p_i].set(True).at[c_i].set(True)
+            fixed = fixed.at[p_i].set(True)
+            if v_err <= best_err:
+                fixed = fixed.at[c_i].set(True)
         new_poses = loop_ops.optimize_pose_graph(
             kf_pose, m.kf_valid, edges, fixed,
             iters=min(self.cfg.slam.max_iters_pgo, 50))

@@ -110,15 +110,18 @@ def _run_ends(support: jax.Array, bin16: jax.Array, rounds: int
     return best, best_bin
 
 
-def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
+def _refine_fragments(gx: jax.Array, gy: jax.Array, bin_ang: jax.Array,
                       start: jax.Array, end: jax.Array, rho: float):
     """Sub-pixel refinement: gradient-weighted perpendicular centroids at
     N_SAMPLES points -> weighted PCA line fit. Taps are weighted by gradient
     -angle agreement with the fragment's bin so the opposite edge of a bright
     ridge (antiparallel gradient, 2-3 px away) does not pull the centroid or
-    inflate the stroke width. Returns (center [F,2], dir [F,2] unit,
-    sp [F,2], ep [F,2], width [F], density [F], wsum [F])."""
-    h, w = mag.shape
+    inflate the stroke width. Takes the raw gradient components — magnitude
+    and angle are computed ONLY at the ~F*S*5 tap points (dense sqrt/atan2
+    over the full image cost ~2 ms/camera on-chip for values needed at <1%%
+    of pixels). Returns (center [F,2], dir [F,2] unit, sp [F,2], ep [F,2],
+    width [F], density [F], wsum [F])."""
+    h, w = gx.shape
     t = jnp.linspace(0.0, 1.0, N_SAMPLES)[None, :, None]     # [1, S, 1]
     pos = start[:, None, :] + t * (end - start)[:, None, :]  # [F, S, 2]
     seg = end - start
@@ -131,13 +134,14 @@ def _refine_fragments(mag: jax.Array, ga: jax.Array, bin_ang: jax.Array,
             + offs[None, None, :, None] * nrm[:, None, None, :])  # [F,S,5,2]
     xi = jnp.clip(jnp.round(taps[..., 0]).astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(jnp.round(taps[..., 1]).astype(jnp.int32), 0, h - 1)
-    # one two-channel gather for (mag, grad angle) — gathers dominate here
-    mg = jnp.stack([mag, ga], axis=-1)[yi, xi]               # [F, S, P, 2]
-    ga_tap = mg[..., 1]
+    # one two-channel gather for (gx, gy) — gathers dominate here
+    g2 = jnp.stack([gx, gy], axis=-1)[yi, xi]                # [F, S, P, 2]
+    mag_tap = jnp.sqrt(g2[..., 0] ** 2 + g2[..., 1] ** 2)
+    ga_tap = jnp.arctan2(g2[..., 1], g2[..., 0])
     pol = jnp.maximum(jnp.cos(ga_tap - bin_ang[:, None, None]), 0.0)
     # noise floor: only support-strength taps carry weight (LSD regions only
     # contain pixels above rho; sub-threshold noise must not widen the fit)
-    wts = jnp.maximum(mg[..., 0] * pol * pol - 0.5 * rho, 0.0)  # [F, S, 5]
+    wts = jnp.maximum(mag_tap * pol * pol - 0.5 * rho, 0.0)  # [F, S, 5]
     wsum_s = jnp.sum(wts, axis=2)                            # [F, S]
     safe = jnp.maximum(wsum_s, 1e-6)
     perp_off = jnp.sum(wts * offs[None, None, :], axis=2) / safe
@@ -248,23 +252,45 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 9,
     # LSD threshold rho = quant/sin(ang_th) applies on the same scale.
     gx = gx / 8.0
     gy = gy / 8.0
-    mag = jnp.sqrt(gx * gx + gy * gy)
     ang_tol = float(np.deg2rad(ang_th_deg))
     rho = quant / np.sin(ang_tol)
-    ga = jnp.arctan2(gy, gx)
 
-    bin16 = jnp.mod(jnp.round(ga / (np.pi / 8)).astype(jnp.int32), 16)
-    support = mag > rho
+    # orientation binning WITHOUT a dense atan2 (2 ms/camera on-chip):
+    # nearest of 16 sector centers == argmax of the dot product with the 16
+    # unit vectors — one [HW, 2] @ [2, 16] matmul + argmax. The support
+    # threshold compares squared magnitudes (no dense sqrt either).
+    centers = np.stack([np.cos(np.arange(16) * np.pi / 8),
+                        np.sin(np.arange(16) * np.pi / 8)]).astype(np.float32)
+    dots = (jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+            @ jnp.asarray(centers))                         # [HW, 16]
+    bin16 = jnp.argmax(dots, axis=1).astype(jnp.int32).reshape(h, w)
+    support = (gx * gx + gy * gy) > (rho * rho)
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     support &= (yy > 1) & (yy < h - 2) & (xx > 1) & (xx < w - 2)
 
     best_len, best_bin = _run_ends(support, bin16, rounds)
 
-    # --- fragment extraction: one global top-K over run-end pixels ---
-    f = min(F_SLOTS, h * w)
-    flat = best_len.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, f)
+    # --- fragment extraction: block-reduce, then top-K ---
+    # top_k over the raw 360k-pixel map at k=1024 is multi-ms on-chip; the
+    # NMS'd run-end field is sparse (~10k nonzero), so keep only each
+    # 2x4 block's best end first (encoded quantized-length + position key,
+    # as in _run_ends' NMS) and run the top-K over the ~45k block winners.
+    hp = -(-h // 2) * 2
+    wp = -(-w // 4) * 4
+    f = min(F_SLOTS, (hp // 2) * (wp // 4))
+    enc_full = jnp.where(
+        best_len > 0,
+        (jnp.minimum(jnp.round(best_len * 4.0), 4000.0).astype(jnp.int32)
+         * (1 << 19))
+        + jnp.arange(h * w, dtype=jnp.int32).reshape(h, w) % (1 << 19),
+        0)
+    enc_pad = jnp.pad(enc_full, ((0, hp - h), (0, wp - w)))
+    blocks = enc_pad.reshape(hp // 2, 2, wp // 4, 4).max(axis=(1, 3))
+    keys, _ = jax.lax.top_k(blocks.reshape(-1), f)
+    idx = keys % (1 << 19)
+    # recover the un-quantized run length at the winning pixels
+    vals = jnp.where(keys > 0, best_len.reshape(-1)[idx], 0.0)
     frag_ok = vals >= 3.0                       # minimum fragment extent (px)
     ex = (idx % w).astype(jnp.float32)
     ey = (idx // w).astype(jnp.float32)
@@ -277,7 +303,7 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 9,
 
     bin_ang = kbin.astype(jnp.float32) * float(np.pi / 8)
     c, dirv, sp, ep, width, density, wsum, disp = _refine_fragments(
-        mag, ga, bin_ang, start, end, rho)
+        gx, gy, bin_ang, start, end, rho)
     length = jnp.linalg.norm(ep - sp, axis=1)
     frag_ok &= jnp.isfinite(length) & (density > 0.4) & (disp < 0.25)
 

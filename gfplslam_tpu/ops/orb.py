@@ -125,14 +125,18 @@ def ic_angles(img: jax.Array, xy: jax.Array) -> jax.Array:
 
 
 def _box_filter(x: jax.Array, radius: int) -> jax.Array:
-    """(2r+1)-square box sum via cumsum + shifted differences (dense)."""
-    from gfplslam_tpu.ops.pyramid import _shift
-    for axis in (0, 1):
-        c = jnp.cumsum(x, axis=axis)
-        lo = (radius, 0) if axis == 0 else (0, radius)
-        hi = (-radius - 1, 0) if axis == 0 else (0, -radius - 1)
-        x = _shift(c, -lo[0], -lo[1]) - _shift(c, -hi[0], -hi[1])
-    return x
+    """(2r+1)-square box sum as banded-matrix MXU matmuls (cross-lane
+    cumsum-shift differences are slow on TPU; see pyramid._separable_mxu).
+    Border behavior: zero outside (the cumsum form's semantics)."""
+    from gfplslam_tpu.ops.pyramid import _band_matrix
+    h, w = x.shape[-2], x.shape[-1]
+    ones = tuple([1.0] * (2 * radius + 1))
+    # f32 (not bf16): the coordinate-weighted moment inputs reach ~2e5 and
+    # the caller subtracts nearly-equal box sums — bf16 rounding would
+    # corrupt the orientation angles
+    mv = jnp.asarray(np.minimum(_band_matrix(h, ones), 1.0))
+    mh = jnp.asarray(np.minimum(_band_matrix(w, ones), 1.0))
+    return (mv @ x) @ mh.T
 
 
 def ic_angle_maps(img: jax.Array, radius: int = PATCH_RADIUS
@@ -194,6 +198,100 @@ def brief_descriptors(img_blur: jax.Array, xy: jax.Array,
 
 
 PATCH_R = 19  # covers rotated pool offsets: |p| <= 13*sqrt(2) ~ 18.4
+
+# ---------------------------------------------------------------------------
+# MXU-binned steered BRIEF: the random-gather elimination.
+#
+# On-chip profile (profile_vo.py, TPU v5e): the 375-gather-per-keypoint
+# BRIEF costs ~11.7 ms/frame at the EuRoC operating point — random HBM
+# gathers are ~10-20 ns/element (verify-skill cost model) and dominate the
+# whole VO frame. This variant replaces them with MXU work:
+#   1. ONE contiguous (39, 40) patch per keypoint (block dynamic_slice —
+#      byte-bound DMA-like access, not per-element gather),
+#   2. rotation quantized to N_ROT_BINS bins (<= 5.6 deg error; the
+#      descriptor stays self-consistent in-engine since both frames
+#      quantize identically),
+#   3. in-patch sampling for ALL bins as one [N, 1560] @ [1560, B*375]
+#      one-hot matmul in bf16 (patch values are 8-bit intensities — bf16
+#      is exact for the comparisons that follow), then the keypoint's bin
+#      selected with a [N, B] one-hot contraction. No gathers anywhere.
+# ---------------------------------------------------------------------------
+N_ROT_BINS = 32
+_SEL_CACHE: dict = {}
+
+
+def _rotation_selectors() -> np.ndarray:
+    """[E=39*40, B*P] bf16 one-hot: for each rotation-bin center, the
+    flattened in-patch index of every rotated pool offset."""
+    key = id(BRIEF_POOL)
+    if key in _SEL_CACHE:
+        return _SEL_CACHE[key]
+    pool = np.asarray(BRIEF_POOL, np.float32)              # [P, 2]
+    p = pool.shape[0]
+    b = N_ROT_BINS
+    ang = (np.arange(b) + 0.5) * (2 * np.pi / b)
+    ca, sa = np.cos(ang), np.sin(ang)
+    rx = np.round(ca[:, None] * pool[None, :, 0]
+                  - sa[:, None] * pool[None, :, 1]).astype(np.int64)
+    ry = np.round(sa[:, None] * pool[None, :, 0]
+                  + ca[:, None] * pool[None, :, 1]).astype(np.int64)
+    side_y, side_x = 2 * PATCH_R + 1, 2 * PATCH_R + 2
+    idx = (ry + PATCH_R) * side_x + (rx + PATCH_R)         # [B, P]
+    sel = np.zeros((side_y * side_x, b * p), np.float32)
+    cols = (np.arange(b)[:, None] * p + np.arange(p)[None, :]).ravel()
+    sel[idx.ravel(), cols] = 1.0
+    sel = sel.astype(jnp.bfloat16)
+    _SEL_CACHE[key] = sel
+    return sel
+
+
+def brief_patches(img_blur: jax.Array, xy: jax.Array) -> jax.Array:
+    """[N,2] keypoints -> [N, E] bf16 flattened (39, 40) patches (block
+    dynamic_slice — byte-bound, no per-element gathers)."""
+    h, w = img_blur.shape
+    r = PATCH_R
+    side_y, side_x = 2 * r + 1, 2 * r + 2
+    n = xy.shape[0]
+    # +edge padding so the widened (lane-friendlier) x-slice never clamps
+    imgp = jnp.pad(img_blur, ((0, 1), (0, 8)), mode="edge")
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), r, w - 1 - r)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), r, h - 1 - r)
+    patches = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+        imgp, (y - r, x - r), (side_y, side_x)))(yi, xi)
+    return patches.reshape(n, side_y * side_x).astype(jnp.bfloat16)
+
+
+def brief_from_patches(pf: jax.Array, angles: jax.Array) -> jax.Array:
+    """[N, E] bf16 patches + [N] angles -> [N, 8] uint32 descriptors.
+    Separated from patch extraction so callers can CONCATENATE the patches
+    of all pyramid levels first — the [N, 1560] @ [1560, B*375] selector
+    matmul hits MXU efficiency at N ~ 1024+, not at per-level N ~ 256."""
+    n = pf.shape[0]
+    pool_n = np.asarray(BRIEF_POOL).shape[0]
+    sel = jnp.asarray(_rotation_selectors())               # [E, B*P] bf16
+    all_bins = jax.lax.dot_general(
+        pf, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [N, B*P]
+    all_bins = all_bins.reshape(n, N_ROT_BINS, pool_n)
+    two_pi = 2.0 * jnp.pi
+    bin_idx = jnp.floor((angles % two_pi) / (two_pi / N_ROT_BINS))
+    bin_oh = jax.nn.one_hot(bin_idx.astype(jnp.int32), N_ROT_BINS,
+                            dtype=jnp.float32)             # [N, B]
+    vals = jnp.einsum("nbp,nb->np", all_bins, bin_oh)      # [N, P]
+
+    pairs = jnp.asarray(BRIEF_PAIRS)
+    bits = (vals[:, pairs[:, 0]] < vals[:, pairs[:, 1]]).astype(jnp.uint32)
+    words = bits.reshape(n, DESC_WORDS, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(words << shifts[None, None, :], axis=2, dtype=jnp.uint32)
+
+
+def brief_descriptors_mxu(img_blur: jax.Array, xy: jax.Array,
+                          angles: jax.Array) -> jax.Array:
+    """[N,2] keypoints + [N] angles -> [N, 8] uint32 descriptors, gather-free
+    (see the design note above)."""
+    return brief_from_patches(brief_patches(img_blur, xy), angles)
+
 
 
 def brief_descriptors_patch(img_blur: jax.Array, xy: jax.Array,
