@@ -57,6 +57,10 @@ def main(argv=None):
     ap.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed from env coordinator "
                          "settings before touching devices")
+    ap.add_argument("--chunk", type=int, default=0, metavar="N",
+                    help="streaming chunk driver: track N frames per device "
+                         "dispatch (throughput mode — amortizes host/device "
+                         "round trips at N frames of latency)")
     args = ap.parse_args(argv)
 
     if args.multihost:
@@ -133,19 +137,45 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     n_done = 0
-    for ts, il, ir in frames():
-        rec = process(il, ir, float(ts))
-        n_done += 1
-        if n_done % 10 == 0:
-            print(f"frame {n_done}: kf={rec.is_kf} "
-                  f"pt={rec.n_pt} ln={rec.n_ln}", file=sys.stderr)
-        vo = engine if args.vo_only else engine.vo
-        if vo.lost:
-            print("TRACK LOST — terminating early "
-                  "(max_num_frame_loss)", file=sys.stderr)
-            break
-    if not args.vo_only:
+    if args.chunk and not args.vo_only:
+        # streaming chunk driver (SLAMSystem.process_chunk): one tracking
+        # dispatch + one host transfer per N frames
+        buf = []
+        for ts, il, ir in frames():
+            buf.append((float(ts), il, ir))
+            if len(buf) >= args.chunk:
+                engine.process_chunk(
+                    np.stack([b[1] for b in buf]),
+                    np.stack([b[2] for b in buf]),
+                    np.asarray([b[0] for b in buf]))
+                n_done += len(buf)
+                buf = []
+                print(f"frame {n_done}: kf_total="
+                      f"{len(engine.kf_timestamps)}", file=sys.stderr)
+                if engine.vo.lost:
+                    print("TRACK LOST — terminating early", file=sys.stderr)
+                    break
+        if buf and not engine.vo.lost:
+            engine.process_chunk(
+                np.stack([b[1] for b in buf]),
+                np.stack([b[2] for b in buf]),
+                np.asarray([b[0] for b in buf]))
+            n_done += len(buf)
         engine.finish()
+    else:
+        for ts, il, ir in frames():
+            rec = process(il, ir, float(ts))
+            n_done += 1
+            if n_done % 10 == 0:
+                print(f"frame {n_done}: kf={rec.is_kf} "
+                      f"pt={rec.n_pt} ln={rec.n_ln}", file=sys.stderr)
+            vo = engine if args.vo_only else engine.vo
+            if vo.lost:
+                print("TRACK LOST — terminating early "
+                      "(max_num_frame_loss)", file=sys.stderr)
+                break
+        if not args.vo_only:
+            engine.finish()
     wall = time.perf_counter() - t0
 
     # ---- outputs (plslam_mod.cpp:488-566 file set) ----

@@ -410,7 +410,8 @@ class PoseGraphEdges(NamedTuple):
 def build_edges(kf_pose: jax.Array, kf_valid: jax.Array,
                 full_graph: jax.Array, min_covis: int,
                 lc_i: jax.Array, lc_j: jax.Array, lc_t: jax.Array,
-                max_edges: int) -> PoseGraphEdges:
+                max_edges: int,
+                lc_valid: jax.Array | None = None) -> PoseGraphEdges:
     """Sequential + covisibility + loop edges (:4029-4066). Measurements for
     sequential/covis edges are taken from current estimates (the reference
     does the same before correction).
@@ -449,7 +450,12 @@ def build_edges(kf_pose: jax.Array, kf_valid: jax.Array,
 
     e_i = jnp.concatenate([seq_i, cov_i, lc_i])
     e_j = jnp.concatenate([seq_j, cov_j, lc_j])
-    e_ok = jnp.concatenate([seq_ok, sel_ok, jnp.ones(n_lc, bool)])
+    # lc_valid lets callers pad the LC-constraint set to a FIXED length so
+    # the pose-graph programs compile once (every distinct constraint count
+    # otherwise recompiles the whole PGO at the full KF capacity)
+    lc_ok = (jnp.ones(n_lc, bool) if lc_valid is None
+             else jnp.asarray(lc_valid, bool))
+    e_ok = jnp.concatenate([seq_ok, sel_ok, lc_ok])
 
     t_inv = jax.vmap(se3.inverse_se3)(kf_pose)
     t_ij = jax.vmap(lambda a, b: t_inv[a] @ kf_pose[b])(e_i, e_j)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,6 +25,22 @@ from gfplslam_tpu.models import mapping
 from gfplslam_tpu.models.vo import VisualOdometry
 
 LC_IDLE, LC_ACTIVE, LC_READY = 0, 1, 2
+
+
+@jax.jit
+def _take_frame(frames, i):
+    """Slice frame i out of a chunk's stacked per-frame pytree (device)."""
+    return jax.tree.map(lambda x: x[i], frames)
+
+
+@jax.jit
+def _pack_lc(cand, accepted, err, t_rel):
+    """One [19] float32 array for the LC decision's host reads (single
+    device->host transfer: cand, accepted, err, 4x4 t_rel)."""
+    return jnp.concatenate([
+        jnp.stack([cand.astype(jnp.float32), accepted.astype(jnp.float32),
+                   err.astype(jnp.float32)]),
+        t_rel.reshape(-1).astype(jnp.float32)])
 
 
 @dataclass
@@ -113,7 +130,7 @@ class SLAMSystem:
                         # decisions harvested at the next KF boundary
                         self._deferred = (kf_idx, res.cand, res.verification)
                     else:
-                        self._lc_decide(int(res.cand), res.verification,
+                        self._lc_decide(res.cand, res.verification,
                                         kf_idx)
             self.kf_frame_ids.append(self.vo.frame_idx - 1)
             self.kf_timestamps.append(timestamp)
@@ -124,6 +141,101 @@ class SLAMSystem:
                 self.vo.rebase(self.kf_pose_world(kf_idx))
         return rec
 
+    # ------------------------------------------------------------------
+    def process_chunk(self, imgs_l: np.ndarray, imgs_r: np.ndarray,
+                      timestamps: np.ndarray):
+        """Streaming chunk driver: tracking for the whole chunk runs as ONE
+        on-device ``lax.scan`` dispatch (models/vo.py run_vo_scan_chunk), the
+        chunk's host-visible scalars come back as ONE packed transfer, and
+        keyframe mapping slices the scan's stacked per-frame features on
+        device. On a tunneled chip the per-frame driver is dispatch-bound
+        (~25 ms per device<->host round trip vs a ~22 ms frame); chunking
+        amortizes those round trips over N frames at N frames of latency —
+        the deployment-shaped throughput mode of the shipped system.
+
+        Map corrections (BA/PGO) land between keyframes exactly as in the
+        per-frame driver: the map composes each KF onto the OPTIMIZED
+        previous KF pose, and the all-frame trajectory re-bases onto map
+        poses. Adaptive-FAST feedback stays inside the scan carry.
+        """
+        from gfplslam_tpu.models import vo as vo_mod
+
+        imgs_l = np.asarray(imgs_l)
+        imgs_r = np.asarray(imgs_r)
+        timestamps = np.asarray(timestamps, np.float64)
+        start = 0
+        if getattr(self, "_scan_carry", None) is None:
+            carry, frame0 = vo_mod.init_scan_carry(
+                self.cfg, jnp.asarray(imgs_l[0], jnp.float32),
+                jnp.asarray(imgs_r[0], jnp.float32),
+                float(timestamps[0]))
+            self._scan_carry = carry
+            self._abs_prev = np.eye(4)       # absolute VO pose, last frame
+            self._abs_prev_kf = np.eye(4)    # absolute VO pose, last KF
+            # frame 0 initializes the map (first keyframe)
+            self.map = map_ops.initialize_map(self.cfg, self.map, frame0)
+            self.loop_state = loop_ops.insert_kf_bow(
+                self.cfg, self.loop_state, jnp.asarray(0), frame0)
+            self.kf_frame_ids.append(0)
+            self.kf_timestamps.append(float(timestamps[0]))
+            self._n_kf_host = 1
+            self.vo.records.append(vo_mod.FrameRecord(
+                float(timestamps[0]), np.eye(4), True, 0, 0, True,
+                base_kf=0, t_rel_base=np.eye(4)))
+            self.vo.frame_idx += 1
+            self.vo.kf_count = 1
+            start = 1
+        if start >= len(imgs_l):
+            return
+
+        carry, poses, aux, frames = vo_mod.run_vo_scan_chunk(
+            self.cfg, self._scan_carry,
+            jnp.asarray(imgs_l[start:], jnp.float32),
+            jnp.asarray(imgs_r[start:], jnp.float32),
+            jnp.asarray(timestamps[start:], jnp.float32))
+        self._scan_carry = carry
+        packed = np.asarray(vo_mod.pack_chunk_aux(self.cfg, poses, aux))
+
+        n_loss = 0
+        for j in range(packed.shape[0]):
+            is_kf = packed[j, 0] > 0.5
+            accepted = packed[j, 1] > 0.5
+            t_abs = packed[j, 5:21].reshape(4, 4).astype(np.float64)
+            n_loss = 0 if accepted else n_loss + 1
+            if n_loss > self.cfg.slam.max_num_frame_loss:
+                self.vo.lost = True
+            ts_j = float(timestamps[start + j])
+            if is_kf and not self.vo.lost:
+                kf_idx = self._n_kf_host
+                t_rel = np.linalg.inv(self._abs_prev_kf) @ t_abs
+                frame_k = _take_frame(frames, j)
+                res = mapping.mapping_step(
+                    self.cfg, self.map, self.loop_state, frame_k,
+                    jnp.asarray(t_rel.astype(np.float32)),
+                    run_ba=self.run_local_ba,
+                    run_lc=self.run_loop_closure,
+                    cull_redundant=self.cull_redundant_kfs)
+                self.map = res.map
+                self.loop_state = res.loop_state
+                if self.run_loop_closure:
+                    self._lc_decide(res.cand, res.verification, kf_idx)
+                self.kf_frame_ids.append(self.vo.frame_idx)
+                self.kf_timestamps.append(ts_j)
+                self._n_kf_host = kf_idx + 1
+                self.vo.kf_count += 1
+                self._abs_prev_kf = t_abs.copy()
+                base_kf = kf_idx
+                t_rel_base = np.eye(4)
+            else:
+                base_kf = self._n_kf_host - 1
+                t_rel_base = np.linalg.inv(self._abs_prev_kf) @ t_abs
+            self.vo.records.append(vo_mod.FrameRecord(
+                ts_j, t_abs, bool(is_kf), int(packed[j, 3]),
+                int(packed[j, 4]), bool(accepted),
+                base_kf=base_kf, t_rel_base=t_rel_base))
+            self.vo.frame_idx += 1
+            self._abs_prev = t_abs
+
     def _harvest_deferred(self):
         """Apply the previous KF's deferred mapping decisions (async mode):
         LC state machine on the now-complete device results, then tracker
@@ -131,7 +243,7 @@ class SLAMSystem:
         if self._deferred is not None:
             kf_idx, cand, ver = self._deferred
             self._deferred = None
-            self._lc_decide(int(cand), ver, kf_idx)
+            self._lc_decide(cand, ver, kf_idx)
         if self._n_kf_host > 0:
             self.vo.rebase(self.kf_pose_world(self._n_kf_host - 1))
 
@@ -139,16 +251,27 @@ class SLAMSystem:
     def kf_pose_world(self, kf_idx: int) -> np.ndarray:
         return np.asarray(self.map.kf_pose[kf_idx])
 
-    def _lc_decide(self, cand: int, ver, kf_curr: int):
+    def _lc_decide(self, cand, ver, kf_curr: int):
         """The host-side LC state machine on computed candidate/verification
-        results (shared by the sync and async paths)."""
+        results (shared by the sync and async paths). ``cand`` may be a
+        device scalar — all device reads happen as ONE packed transfer
+        (separate int()/bool()/asarray() materializations each cost a full
+        tunnel round trip)."""
         verified = False
-        if cand >= 0 and ver is not None and bool(ver.accepted):
-            verified = True
-            self.lc_consecutive += 1
-            self.lc_pending.append((cand, kf_curr, np.asarray(ver.t_rel),
-                                    float(ver.err)))
-            self.lc_status = LC_ACTIVE
+        if ver is not None:
+            packed = np.asarray(_pack_lc(jnp.asarray(cand), ver.accepted,
+                                         ver.err, ver.t_rel))
+            cand = int(packed[0])
+            if cand >= 0 and packed[1] > 0.5:
+                verified = True
+                self.lc_consecutive += 1
+                self.lc_pending.append(
+                    (cand, kf_curr,
+                     packed[3:19].reshape(4, 4).astype(np.float64),
+                     float(packed[2])))
+                self.lc_status = LC_ACTIVE
+        else:
+            cand = int(cand)
         if not verified and self.lc_status == LC_ACTIVE:
             # the car has passed the already-visited street: close now
             # (LC_ACTIVE -> LC_READY -> optimize, mapHandler.cpp:2840-2861)
@@ -172,18 +295,29 @@ class SLAMSystem:
         self.lc_pending = keep
         m = self.map
         # LC edge measurements: T_prev^-1 T_curr = inverse of each verified
-        # T_curr<-prev mapped into pose-graph convention
-        lc_i = jnp.asarray([p[0] for p in self.lc_pending], jnp.int32)
-        lc_j = jnp.asarray([p[1] for p in self.lc_pending], jnp.int32)
+        # T_curr<-prev mapped into pose-graph convention. The constraint
+        # set is PADDED to a fixed length: every distinct count otherwise
+        # traces a fresh pose-graph program at full KF capacity (a
+        # multi-second XLA compile per closure event).
+        n_lc_max = 8
+        pend = self.lc_pending[:n_lc_max]
+        self.counters["lc_constraints_over_cap"] = (
+            self.counters.get("lc_constraints_over_cap", 0)
+            + max(0, len(self.lc_pending) - n_lc_max))
+        n_pad = n_lc_max - len(pend)
+        lc_i = jnp.asarray([p[0] for p in pend] + [0] * n_pad, jnp.int32)
+        lc_j = jnp.asarray([p[1] for p in pend] + [0] * n_pad, jnp.int32)
         lc_t = jnp.asarray(np.stack(
-            [np.linalg.inv(p[2]).astype(np.float32)
-             for p in self.lc_pending]))
-        kf_prev, kf_curr = self.lc_pending[0][0], self.lc_pending[0][1]
+            [np.linalg.inv(p[2]).astype(np.float32) for p in pend]
+            + [np.eye(4, dtype=np.float32)] * n_pad))
+        lc_valid = jnp.asarray([True] * len(pend) + [False] * n_pad)
+        kf_prev, kf_curr = pend[0][0], pend[0][1]
         edges = loop_ops.build_edges(
             m.kf_pose, m.kf_valid, m.full_graph,
             self.cfg.slam.min_lm_ess_graph,
             lc_i, lc_j, lc_t,
-            max_edges=int(m.kf_pose.shape[0] * 4))
+            max_edges=int(m.kf_pose.shape[0] * 4),
+            lc_valid=lc_valid)
         # The reference seeds each LC current-KF at the constraint-implied
         # pose (loopClosureOptimization*G2O vertex setup,
         # mapHandler.cpp:4005-4025). Hard-fixing EVERY constraint's KF bakes
@@ -194,8 +328,8 @@ class SLAMSystem:
         # fixed — the rest stay soft pose-graph edges.
         kf_pose = m.kf_pose
         fixed = jnp.zeros(kf_pose.shape[0], bool).at[0].set(True)
-        best_err = min(p[3] for p in self.lc_pending)
-        for (p_i, c_i, t_rel_i, v_err) in self.lc_pending:
+        best_err = min(p[3] for p in pend)
+        for (p_i, c_i, t_rel_i, v_err) in pend:
             corrected = np.asarray(kf_pose[p_i]) @ np.linalg.inv(t_rel_i)
             kf_pose = kf_pose.at[c_i].set(
                 jnp.asarray(corrected.astype(np.float32)))
