@@ -197,6 +197,11 @@ class SLAMSystem:
         packed = np.asarray(vo_mod.pack_chunk_aux(self.cfg, poses, aux))
 
         n_loss = 0
+        lc_queue = []   # (kf_idx, cand, verification): decided AFTER all
+        # of this chunk's mapping dispatches are queued, so the device runs
+        # the mapping chain back-to-back instead of stalling on a host
+        # round trip per keyframe (decisions land <= one chunk late — the
+        # async-mapping semantics)
         for j in range(packed.shape[0]):
             is_kf = packed[j, 0] > 0.5
             accepted = packed[j, 1] > 0.5
@@ -218,7 +223,7 @@ class SLAMSystem:
                 self.map = res.map
                 self.loop_state = res.loop_state
                 if self.run_loop_closure:
-                    self._lc_decide(res.cand, res.verification, kf_idx)
+                    lc_queue.append((kf_idx, res.cand, res.verification))
                 self.kf_frame_ids.append(self.vo.frame_idx)
                 self.kf_timestamps.append(ts_j)
                 self._n_kf_host = kf_idx + 1
@@ -235,6 +240,8 @@ class SLAMSystem:
                 base_kf=base_kf, t_rel_base=t_rel_base))
             self.vo.frame_idx += 1
             self._abs_prev = t_abs
+        for kf_idx, cand, ver in lc_queue:
+            self._lc_decide(cand, ver, kf_idx)
 
     def _harvest_deferred(self):
         """Apply the previous KF's deferred mapping decisions (async mode):
