@@ -44,7 +44,7 @@ def main():
     cam = CameraParams()  # EuRoC rectified 752x480
     cfg = Config(camera=cam)
 
-    n_frames = 24
+    n_frames = 48
     world = synthetic.make_world(n_frames=n_frames, n_points=900, n_lines=90,
                                  seed=3, cam=cam)
     frames = [synthetic.render_frame(world, i, noise=1.5)
@@ -154,10 +154,10 @@ def main():
     kcam = CameraParams(width=1241, height=376, fx=718.856, fy=718.856,
                         cx=607.1928, cy=185.2157, baseline=0.537165719)
     kcfg = Config(camera=kcam)
-    kworld = synthetic.make_world(n_frames=12, n_points=900, n_lines=90,
+    kworld = synthetic.make_world(n_frames=16, n_points=900, n_lines=90,
                                   seed=7, cam=kcam, motion="forward")
     kframes = [synthetic.render_frame(kworld, i, noise=1.5)
-               for i in range(12)]
+               for i in range(16)]
     k_l = jnp.asarray(np.stack([f[0] for f in kframes]))
     k_r = jnp.asarray(np.stack([f[1] for f in kframes]))
     k_ts = jnp.asarray(kworld.timestamps.astype(np.float32))
@@ -167,7 +167,7 @@ def main():
     for _ in range(2):
         kposes, _ = run_vo_scan(kcfg, k_l, k_r, k_ts)
         kposes.block_until_ready()
-    kitti_fps = 2 * 11 / (time.perf_counter() - t0)
+    kitti_fps = 2 * 15 / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "euroc_stereo_vo_frames_per_s_per_chip",

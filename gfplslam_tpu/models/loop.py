@@ -41,8 +41,13 @@ from gfplslam_tpu.ops.hamming import hamming_matrix
 from gfplslam_tpu.ops import matching as match_ops
 from gfplslam_tpu.utils import se3
 
-N_KF_PT = 256   # stereo points snapshotted per KF for LC verification
-N_KF_LN = 128
+# stereo features snapshotted per KF for LC verification: 512/256 covers
+# the full EuRoC budgets with little truncation (256/128 dropped ~3k
+# features over a 12-KF full-capacity run — weaker geometric verification
+# exactly where loop closures matter most); the snapshot-drop counter
+# (n_snapshot_dropped) keeps any remaining truncation observable
+N_KF_PT = 512
+N_KF_LN = 256
 
 
 def make_vocab(v: int = 1024, seed: int = 31) -> np.ndarray:
@@ -236,11 +241,20 @@ def _masked_stdv(x: jax.Array, mask: jax.Array) -> jax.Array:
 
 
 def _topk_snapshot(valid, n_out, *arrays):
-    """Select up to n_out valid rows (stable order) from padded arrays."""
-    key = jnp.where(valid, jnp.arange(valid.shape[0]), valid.shape[0] + 1)
-    order = jnp.argsort(key)[:n_out]
+    """Select up to n_out valid rows (stable order) from padded arrays;
+    zero-pads when the frame's feature capacity is below the snapshot
+    capacity (small test configs)."""
+    n = valid.shape[0]
+    key = jnp.where(valid, jnp.arange(n), n + 1)
+    order = jnp.argsort(key)[:min(n_out, n)]
     ok = valid[order]
-    return (ok,) + tuple(a[order] for a in arrays)
+    outs = tuple(a[order] for a in arrays)
+    if n < n_out:
+        pad = n_out - n
+        ok = jnp.pad(ok, (0, pad))
+        outs = tuple(jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+                     for a in outs)
+    return (ok,) + outs
 
 
 @partial(jax.jit, static_argnames=("cfg",))
