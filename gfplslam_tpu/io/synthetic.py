@@ -39,7 +39,7 @@ class SyntheticWorld:
 def make_world(n_frames: int = 30, n_points: int = 600, n_lines: int = 60,
                seed: int = 0, cam: CameraParams | None = None,
                motion: str = "forward",
-               textured: bool = False) -> SyntheticWorld:
+               textured: bool = False, laps: int = 1) -> SyntheticWorld:
     """World in a corridor [-6,6]x[-4,4]x[0,40]; camera advances with gentle
     yaw so features flow but remain visible. ``motion``: forward / still /
     loop (closed revisit circuit) / orbit / rotate (rotation-dominant pan).
@@ -87,6 +87,20 @@ def make_world(n_frames: int = 30, n_points: int = 600, n_lines: int = 60,
             x = 0.6 * np.sin(phase)
             z = 0.45 * (1.0 - np.cos(phase))
             yaw = 0.04 * np.sin(phase)
+        elif motion == "circuit":
+            # out-and-back revisit: the camera advances ~6 m down the
+            # corridor with yaw sweep, then returns exactly to the start
+            # pose. Unlike "loop" (a sub-metre wiggle where every frame
+            # sees the same scene and BoW rows alias to ~1.0), the middle
+            # of this trajectory views genuinely different texture/boxes,
+            # so a revisit is discriminative — the place-recognition
+            # regime the reference's LC gates assume (mapHandler.cpp:3002).
+            # ``laps`` > 1 repeats the circuit for multi-revisit sequences
+            # (retrieval PR evaluation needs many aliased re-passes).
+            phase = 2.0 * np.pi * laps * t / max(n_frames - 1, 1)
+            z = 3.0 * (1.0 - np.cos(phase))
+            x = 0.8 * np.sin(phase)
+            yaw = 0.15 * np.sin(phase)
         else:  # orbit
             z = 0.03 * t
             yaw = 0.01 * t

@@ -182,15 +182,30 @@ def detect_camera_features(img: jax.Array, cfg: Config,
     """
     xy0, lvl, angs, descs, score, valid = detect_point_features(
         img, cfg, fast_th, pyr)
-    lines = detect_line_segments(img, cfg)
-    ln_desc = describe_line_segments(img, lines.sp, lines.ep)
+    if cfg.stvo.has_lines:
+        lines = detect_line_segments(img, cfg)
+        ln_sp, ln_ep, ln_angle = lines.sp, lines.ep, lines.angle
+        ln_desc = describe_line_segments(img, lines.sp, lines.ep)
+        ln_valid = lines.valid
+    else:
+        # points-only operating point (Config::hasLines() false,
+        # config.h:46): LSD/LBD never trace — a compile-time skip, not a
+        # runtime mask (cfg is a static jit argument)
+        nl = cfg.cap.n_ln
+        ln_sp = jnp.zeros((nl, 2))
+        ln_ep = jnp.zeros((nl, 2))
+        ln_angle = jnp.zeros(nl)
+        ln_desc = jnp.zeros((nl, 8), jnp.uint32)
+        ln_valid = jnp.zeros(nl, bool)
+    if not cfg.stvo.has_points:
+        valid = jnp.zeros_like(valid)
 
     return CameraFeatures(
         pt_xy=xy0, pt_level=lvl,
         pt_angle=angs, pt_desc=descs,
         pt_score=score, pt_valid=valid,
-        ln_sp=lines.sp, ln_ep=lines.ep, ln_angle=lines.angle,
-        ln_desc=ln_desc, ln_valid=lines.valid)
+        ln_sp=ln_sp, ln_ep=ln_ep, ln_angle=ln_angle,
+        ln_desc=ln_desc, ln_valid=ln_valid)
 
 
 def _subpixel_refine(pyr_l: jax.Array, pyr_r: jax.Array, scale_factor: float,
@@ -416,7 +431,14 @@ class StereoFrame(NamedTuple):
 def process_stereo_pair(img_l: jax.Array, img_r: jax.Array, cfg: Config,
                         fast_th: jax.Array) -> StereoFrame:
     """The whole front-end for one rectified stereo pair in one device call
-    (extractStereoFeatures_ORBSLAM, stereoFrame.cpp:411-767)."""
+    (extractStereoFeatures_ORBSLAM, stereoFrame.cpp:411-767).
+
+    Accepts any image dtype and casts to float32 ON DEVICE: feeding uint8
+    camera bytes host->device costs 4x less transfer than float32 — on a
+    tunneled chip the image feed, not compute, bounds the streaming driver
+    (69 MB/chunk at float32 serialized with a ~1.1 s/chunk engine)."""
+    img_l = img_l.astype(jnp.float32)
+    img_r = img_r.astype(jnp.float32)
     cam = cfg.camera
     # ONE pyramid per camera, shared by detection and sub-pixel refinement
     pyrs = jax.vmap(lambda im: build_pyramid_padded(
@@ -427,7 +449,19 @@ def process_stereo_pair(img_l: jax.Array, img_r: jax.Array, cfg: Config,
     feat_l = jax.tree.map(lambda x: x[0], feats)
     feat_r = jax.tree.map(lambda x: x[1], feats)
     pts = stereo_match_points(cam, cfg, feat_l, feat_r, pyrs[0], pyrs[1])
-    lns = stereo_match_lines(cam, cfg, feat_l, feat_r)
+    if cfg.stvo.has_lines:
+        lns = stereo_match_lines(cam, cfg, feat_l, feat_r)
+    else:
+        nl = cfg.cap.n_ln
+        z2 = jnp.zeros((nl, 2))
+        z1 = jnp.zeros(nl)
+        lns = StereoLines(
+            sp=z2, ep=z2, sdisp=z1, edisp=z1,
+            sp3d=jnp.zeros((nl, 3)), ep3d=jnp.zeros((nl, 3)),
+            le=jnp.zeros((nl, 3)), angle=z1,
+            desc=jnp.zeros((nl, 8), jnp.uint32), sigma2=jnp.ones(nl),
+            valid=jnp.zeros(nl, bool),
+            cov_sp3d=jnp.zeros((nl, 3, 3)), cov_ep3d=jnp.zeros((nl, 3, 3)))
     return StereoFrame(points=pts, lines=lns, feat_l=feat_l)
 
 

@@ -62,8 +62,8 @@ def make_vocab(v: int = 1024, seed: int = 31) -> np.ndarray:
 # default — the analog of the reference loading its pre-trained .yml
 # vocabularies at startup (config.cpp:59-60, mapHandler.cpp:30-35); the
 # seeded random anchors remain the fallback when the file is absent.
-_VOCAB_P_FULL = make_vocab(seed=31)
-_VOCAB_L_FULL = make_vocab(seed=67)
+_VOCAB_P_FULL = make_vocab(4096, seed=31)
+_VOCAB_L_FULL = make_vocab(4096, seed=67)
 VOCAB_SOURCE = "random-anchors"
 
 
@@ -240,12 +240,16 @@ def _masked_stdv(x: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.sqrt(var)
 
 
-def _topk_snapshot(valid, n_out, *arrays):
-    """Select up to n_out valid rows (stable order) from padded arrays;
+def _topk_snapshot(valid, score, n_out, *arrays):
+    """Select up to n_out valid rows, BEST SCORE FIRST, from padded arrays;
     zero-pads when the frame's feature capacity is below the snapshot
-    capacity (small test configs)."""
+    capacity (small test configs). Quality-ordered selection matters when
+    the frame holds more valid features than the snapshot capacity: the
+    reference verifies loops against full KF feature sets
+    (mapHandler.cpp:3104-3242), so the truncated tail must be the WORST
+    features, not an arbitrary (pyramid-level-ordered) slice."""
     n = valid.shape[0]
-    key = jnp.where(valid, jnp.arange(n), n + 1)
+    key = jnp.where(valid, -score, jnp.inf)
     order = jnp.argsort(key)[:min(n_out, n)]
     ok = valid[order]
     outs = tuple(a[order] for a in arrays)
@@ -302,11 +306,17 @@ def insert_kf_bow(cfg: Config, ls: LoopState, kf_idx: jax.Array,
     conf = ls.conf.at[kf_idx, :].set(row)
     conf = conf.at[:, kf_idx].set(row)
 
-    ok_p, p3, uv, dp, s2p = _topk_snapshot(f.valid, N_KF_PT, f.p3d, f.xy,
-                                           f.desc, f.sigma2)
-    ok_l, s3, e3, le, dl, s2l = _topk_snapshot(fl.valid, N_KF_LN, fl.sp3d,
-                                               fl.ep3d, fl.le, fl.desc,
-                                               fl.sigma2)
+    # quality keys: FAST corner response for points (frame.points rows are
+    # left-feature-aligned, see stereo_match_points), length for lines (the
+    # reference's own LSD budget keeps the longest/strongest-response
+    # segments, stereoFrame.cpp:1155-1201)
+    pt_score = frame.feat_l.pt_score
+    ln_len = jnp.linalg.norm(fl.ep - fl.sp, axis=1)
+    ok_p, p3, uv, dp, s2p = _topk_snapshot(f.valid, pt_score, N_KF_PT,
+                                           f.p3d, f.xy, f.desc, f.sigma2)
+    ok_l, s3, e3, le, dl, s2l = _topk_snapshot(fl.valid, ln_len, N_KF_LN,
+                                               fl.sp3d, fl.ep3d, fl.le,
+                                               fl.desc, fl.sigma2)
     return ls._replace(
         bow_p=ls.bow_p.at[kf_idx].set(bow_p),
         bow_l=ls.bow_l.at[kf_idx].set(bow_l),

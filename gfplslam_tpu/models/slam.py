@@ -22,6 +22,7 @@ from gfplslam_tpu.models import ba as ba_ops
 from gfplslam_tpu.models import loop as loop_ops
 from gfplslam_tpu.models import map as map_ops
 from gfplslam_tpu.models import mapping
+from gfplslam_tpu.models import vo as vo_mod
 from gfplslam_tpu.models.vo import VisualOdometry
 
 LC_IDLE, LC_ACTIVE, LC_READY = 0, 1, 2
@@ -157,18 +158,46 @@ class SLAMSystem:
         per-frame driver: the map composes each KF onto the OPTIMIZED
         previous KF pose, and the all-frame trajectory re-bases onto map
         poses. Adaptive-FAST feedback stays inside the scan carry.
-        """
-        from gfplslam_tpu.models import vo as vo_mod
 
-        imgs_l = np.asarray(imgs_l)
-        imgs_r = np.asarray(imgs_r)
+        Implemented as dispatch (:meth:`_scan_chunk`) + harvest
+        (:meth:`_process_scanned`) so :meth:`run_sequence` can pipeline:
+        chunk k+1's scan is dispatched BEFORE chunk k's mapping work (the
+        mapping never feeds the scan carry — map corrections re-base host
+        records only), keeping the device busy while the host decodes
+        chunk k's packed scalars and drives its keyframes.
+        """
+        scanned = self._scan_chunk(imgs_l, imgs_r, timestamps)
+        self._process_scanned(scanned)
+
+    def _scan_chunk(self, imgs_l, imgs_r, timestamps):
+        """Dispatch one chunk's tracking scan on device with NO host sync.
+        Returns the pending state _process_scanned consumes (None if the
+        chunk held only the bootstrap frame)."""
+
+        # images stay in their caller-provided dtype and placement: uint8
+        # camera bytes cost 4x less host->device transfer than float32 (the
+        # cast happens on device in process_stereo_pair), and already-staged
+        # device arrays (run_sequence double-buffers chunk k+1 while chunk k
+        # computes) pass through without a host round trip
+        if not isinstance(imgs_l, jax.Array):
+            imgs_l = np.asarray(imgs_l)
+        if not isinstance(imgs_r, jax.Array):
+            imgs_r = np.asarray(imgs_r)
         timestamps = np.asarray(timestamps, np.float64)
+        # Normalize timestamps on the host in float64 BEFORE the float32
+        # device cast: at EuRoC epoch scale (~1.4e9 s) float32 resolution is
+        # 128 s, so absolute times round consecutive-frame dt to 0 and the
+        # motion gate (trans < motion_step_th * dt, pose_opt) rejects all
+        # real motion. The scan only ever consumes dt, so a per-sequence
+        # base keeps every value microsecond-exact in float32.
+        if getattr(self, "_ts_base", None) is None:
+            self._ts_base = float(timestamps[0])
+        ts_norm = timestamps - self._ts_base
         start = 0
         if getattr(self, "_scan_carry", None) is None:
             carry, frame0 = vo_mod.init_scan_carry(
-                self.cfg, jnp.asarray(imgs_l[0], jnp.float32),
-                jnp.asarray(imgs_r[0], jnp.float32),
-                float(timestamps[0]))
+                self.cfg, jnp.asarray(imgs_l[0]), jnp.asarray(imgs_r[0]),
+                float(ts_norm[0]))
             self._scan_carry = carry
             self._abs_prev = np.eye(4)       # absolute VO pose, last frame
             self._abs_prev_kf = np.eye(4)    # absolute VO pose, last KF
@@ -186,17 +215,26 @@ class SLAMSystem:
             self.vo.kf_count = 1
             start = 1
         if start >= len(imgs_l):
-            return
+            return None
 
+        il = imgs_l if start == 0 else imgs_l[start:]
+        ir = imgs_r if start == 0 else imgs_r[start:]
         carry, poses, aux, frames = vo_mod.run_vo_scan_chunk(
-            self.cfg, self._scan_carry,
-            jnp.asarray(imgs_l[start:], jnp.float32),
-            jnp.asarray(imgs_r[start:], jnp.float32),
-            jnp.asarray(timestamps[start:], jnp.float32))
+            self.cfg, self._scan_carry, jnp.asarray(il), jnp.asarray(ir),
+            jnp.asarray(ts_norm[start:], jnp.float32))
         self._scan_carry = carry
-        packed = np.asarray(vo_mod.pack_chunk_aux(self.cfg, poses, aux))
+        packed_dev = vo_mod.pack_chunk_aux(self.cfg, poses, aux)
+        return packed_dev, frames, timestamps[start:]
 
-        n_loss = 0
+    def _process_scanned(self, scanned) -> None:
+        """Harvest one dispatched chunk: read the packed per-frame scalars
+        (the chunk's ONE device->host transfer), drive keyframe mapping on
+        the device-resident stacked features, and run the LC decisions."""
+        if scanned is None:
+            return
+        packed_dev, frames, ts_abs = scanned
+        packed = np.asarray(packed_dev)
+
         lc_queue = []   # (kf_idx, cand, verification): decided AFTER all
         # of this chunk's mapping dispatches are queued, so the device runs
         # the mapping chain back-to-back instead of stalling on a host
@@ -206,10 +244,12 @@ class SLAMSystem:
             is_kf = packed[j, 0] > 0.5
             accepted = packed[j, 1] > 0.5
             t_abs = packed[j, 5:21].reshape(4, 4).astype(np.float64)
-            n_loss = 0 if accepted else n_loss + 1
-            if n_loss > self.cfg.slam.max_num_frame_loss:
+            # the tracker's own cumulative loss counter (num_frame_loss in
+            # the scan carry) persists across chunk boundaries; the packed
+            # lost flag is its num_loss > max_num_frame_loss verdict
+            if packed[j, 2] > 0.5:
                 self.vo.lost = True
-            ts_j = float(timestamps[start + j])
+            ts_j = float(ts_abs[j])
             if is_kf and not self.vo.lost:
                 kf_idx = self._n_kf_host
                 t_rel = np.linalg.inv(self._abs_prev_kf) @ t_abs
@@ -240,8 +280,54 @@ class SLAMSystem:
                 base_kf=base_kf, t_rel_base=t_rel_base))
             self.vo.frame_idx += 1
             self._abs_prev = t_abs
-        for kf_idx, cand, ver in lc_queue:
-            self._lc_decide(cand, ver, kf_idx)
+        if lc_queue:
+            # ONE device->host transfer for the whole chunk's LC decisions
+            # (a per-KF _pack_lc read costs a full tunnel round trip each —
+            # ~200 ms/chunk measured at 8 KFs/chunk)
+            rows = np.asarray(jnp.stack([
+                _pack_lc(jnp.asarray(c), v.accepted, v.err, v.t_rel)
+                for _, c, v in lc_queue]))
+            for (kf_idx, _, _), row in zip(lc_queue, rows):
+                self._lc_decide_row(row, kf_idx)
+
+    def run_sequence(self, imgs_l, imgs_r, timestamps,
+                     chunk: int = 24) -> None:
+        """Drive a whole sequence through the streaming chunk driver with
+        DOUBLE-BUFFERED image upload: chunk k+1 is staged host->device
+        (async ``jax.device_put``) before chunk k's scan is dispatched, so
+        the tunnel transfer rides under the device compute instead of
+        serializing with it. Chunk boundaries are laid out so every scan is
+        EXACTLY ``chunk`` frames long (frame 0 is consumed by map init) —
+        one compiled scan shape for the whole sequence; only a shorter
+        final remainder compiles a second shape."""
+        n = len(imgs_l)
+        if n == 0:
+            return
+        bounds = [0, min(chunk + 1, n)]
+        while bounds[-1] < n:
+            bounds.append(min(bounds[-1] + chunk, n))
+
+        def stage(s, e):
+            a, b = imgs_l[s:e], imgs_r[s:e]
+            if not isinstance(a, jax.Array):
+                a = jax.device_put(np.ascontiguousarray(a))
+                b = jax.device_put(np.ascontiguousarray(b))
+            return a, b
+
+        nxt = stage(bounds[0], bounds[1])
+        pending = None
+        for k in range(len(bounds) - 1):
+            s, e = bounds[k], bounds[k + 1]
+            cur = nxt
+            if k + 2 < len(bounds):
+                nxt = stage(bounds[k + 1], bounds[k + 2])
+            # pipeline: dispatch chunk k's scan BEFORE harvesting chunk
+            # k-1's mapping — the scan never consumes map state, so the
+            # device stays busy while the host decodes the previous chunk
+            scanned = self._scan_chunk(cur[0], cur[1], timestamps[s:e])
+            self._process_scanned(pending)
+            pending = scanned
+        self._process_scanned(pending)
 
     def _harvest_deferred(self):
         """Apply the previous KF's deferred mapping decisions (async mode):
@@ -264,21 +350,28 @@ class SLAMSystem:
         device scalar — all device reads happen as ONE packed transfer
         (separate int()/bool()/asarray() materializations each cost a full
         tunnel round trip)."""
-        verified = False
         if ver is not None:
             packed = np.asarray(_pack_lc(jnp.asarray(cand), ver.accepted,
                                          ver.err, ver.t_rel))
-            cand = int(packed[0])
-            if cand >= 0 and packed[1] > 0.5:
-                verified = True
-                self.lc_consecutive += 1
-                self.lc_pending.append(
-                    (cand, kf_curr,
-                     packed[3:19].reshape(4, 4).astype(np.float64),
-                     float(packed[2])))
-                self.lc_status = LC_ACTIVE
-        else:
-            cand = int(cand)
+            self._lc_decide_row(packed, kf_curr)
+            return
+        cand = int(cand)
+        if self.lc_status == LC_ACTIVE:
+            self.lc_status = LC_READY
+            self._close_loop()
+
+    def _lc_decide_row(self, packed: np.ndarray, kf_curr: int):
+        """LC state machine on an already-transferred [19] _pack_lc row."""
+        verified = False
+        cand = int(packed[0])
+        if cand >= 0 and packed[1] > 0.5:
+            verified = True
+            self.lc_consecutive += 1
+            self.lc_pending.append(
+                (cand, kf_curr,
+                 packed[3:19].reshape(4, 4).astype(np.float64),
+                 float(packed[2])))
+            self.lc_status = LC_ACTIVE
         if not verified and self.lc_status == LC_ACTIVE:
             # the car has passed the already-visited street: close now
             # (LC_ACTIVE -> LC_READY -> optimize, mapHandler.cpp:2840-2861)
@@ -307,7 +400,9 @@ class SLAMSystem:
         # traces a fresh pose-graph program at full KF capacity (a
         # multi-second XLA compile per closure event).
         n_lc_max = 8
-        pend = self.lc_pending[:n_lc_max]
+        # best-verification-error constraints survive the cap (taking the
+        # FIRST n_lc_max could drop a later, better constraint)
+        pend = sorted(self.lc_pending, key=lambda p: p[3])[:n_lc_max]
         self.counters["lc_constraints_over_cap"] = (
             self.counters.get("lc_constraints_over_cap", 0)
             + max(0, len(self.lc_pending) - n_lc_max))
@@ -319,11 +414,22 @@ class SLAMSystem:
             + [np.eye(4, dtype=np.float32)] * n_pad))
         lc_valid = jnp.asarray([True] * len(pend) + [False] * n_pad)
         kf_prev, kf_curr = pend[0][0], pend[0][1]
+        # pose-graph size bucket: the dense GN solves a [6K x 6K] system per
+        # iteration, so running at the full KF capacity (512 -> 3072^2 solve
+        # x 50 iters, seconds per closure) for a 40-KF map wastes ~100x the
+        # work. Power-of-two buckets over the OCCUPIED count keep shapes
+        # static per bucket (one compile each) and the solve proportionate.
+        k_cap = m.kf_pose.shape[0]
+        n_kf = int(m.n_kf)
+        k_b = 32
+        while k_b < min(n_kf, k_cap):
+            k_b *= 2
+        k_b = min(k_b, k_cap)
         edges = loop_ops.build_edges(
-            m.kf_pose, m.kf_valid, m.full_graph,
+            m.kf_pose[:k_b], m.kf_valid[:k_b], m.full_graph[:k_b, :k_b],
             self.cfg.slam.min_lm_ess_graph,
             lc_i, lc_j, lc_t,
-            max_edges=int(m.kf_pose.shape[0] * 4),
+            max_edges=int(k_b * 4),
             lc_valid=lc_valid)
         # The reference seeds each LC current-KF at the constraint-implied
         # pose (loopClosureOptimization*G2O vertex setup,
@@ -333,8 +439,8 @@ class SLAMSystem:
         # err 0.002); verification error tracks constraint quality, so all
         # currents are seeded but only the BEST-error constraint's KF is
         # fixed — the rest stay soft pose-graph edges.
-        kf_pose = m.kf_pose
-        fixed = jnp.zeros(kf_pose.shape[0], bool).at[0].set(True)
+        kf_pose = m.kf_pose[:k_b]
+        fixed = jnp.zeros(k_b, bool).at[0].set(True)
         best_err = min(p[3] for p in pend)
         for (p_i, c_i, t_rel_i, v_err) in pend:
             corrected = np.asarray(kf_pose[p_i]) @ np.linalg.inv(t_rel_i)
@@ -343,15 +449,16 @@ class SLAMSystem:
             fixed = fixed.at[p_i].set(True)
             if v_err <= best_err:
                 fixed = fixed.at[c_i].set(True)
-        new_poses = loop_ops.optimize_pose_graph(
-            kf_pose, m.kf_valid, edges, fixed,
+        new_b = loop_ops.optimize_pose_graph(
+            kf_pose, m.kf_valid[:k_b], edges, fixed,
             iters=min(self.cfg.slam.max_iters_pgo, 50))
+        new_poses = m.kf_pose.at[:k_b].set(new_b)
         pt_pos = loop_ops.rigid_correct_landmarks(
-            m.kf_pose, new_poses, m.pt_pos, m.pt_last_kf, m.pt_valid)
+            m.kf_pose[:k_b], new_b, m.pt_pos, m.pt_last_kf, m.pt_valid)
         ln_sp = loop_ops.rigid_correct_landmarks(
-            m.kf_pose, new_poses, m.ln_sp, m.ln_last_kf, m.ln_valid)
+            m.kf_pose[:k_b], new_b, m.ln_sp, m.ln_last_kf, m.ln_valid)
         ln_ep = loop_ops.rigid_correct_landmarks(
-            m.kf_pose, new_poses, m.ln_ep, m.ln_last_kf, m.ln_valid)
+            m.kf_pose[:k_b], new_b, m.ln_ep, m.ln_last_kf, m.ln_valid)
         self.map = m._replace(kf_pose=new_poses, pt_pos=pt_pos,
                               ln_sp=ln_sp, ln_ep=ln_ep)
         # merge duplicate landmarks across the junction

@@ -96,11 +96,12 @@ class TimedVO(VisualOdometry):
     fused path (same ops, same order); only program boundaries differ."""
 
     def _frontend(self, img_l, img_r, log: TimeLog,
-                  timer: StageTimer) -> StereoFrame:
+                  timer: StageTimer, fast_th=None) -> StereoFrame:
         cfg = self.cfg
         imgs = jnp.stack([jnp.asarray(img_l), jnp.asarray(img_r)])
 
-        pts, pyrs = _stage_points(cfg, imgs, self.state.fast_th)
+        th = self.state.fast_th if fast_th is None else fast_th
+        pts, pyrs = _stage_points(cfg, imgs, th)
         pts[0].block_until_ready()
         log.time_pt_extract = timer.lap()
 

@@ -195,7 +195,8 @@ def track_step(cfg: Config, state: TrackerState, prev: StereoFrame,
     matches = cross_frame_matching(cfg, prev, curr, dt_pred)
 
     opt_lines = (apply_linecut(cfg, prev, matches, dt_pred)
-                 if cfg.stvo.use_line_conf_cut else matches.lines)
+                 if cfg.stvo.use_line_conf_cut and cfg.stvo.has_lines
+                 else matches.lines)
 
     res = pose_opt.optimize_pose(cfg.camera, dt_pred, matches.points,
                                  opt_lines, cfg.optimizer, delta_t)

@@ -61,7 +61,13 @@ def run_vo_scan(cfg: Config, imgs_l, imgs_r, timestamps):
         return (st_next, frame, ts, t_abs_new), (t_abs_new, aux)
 
     st0 = initial_state(cfg)
-    frame0 = process_stereo_pair(imgs_l[0], imgs_r[0], cfg, st0.fast_th)
+    # frame-0 bootstrap detects at the FAST floor: the map/tracker is seeded
+    # from this one frame, so it gets the loosest gate (the analog of the
+    # reference's dedicated looser-gated extractInitialStereoFeatures,
+    # stereoFrame.cpp:148-336, called only from initialize())
+    frame0 = process_stereo_pair(
+        imgs_l[0], imgs_r[0], cfg,
+        jnp.asarray(float(cfg.tracking.fast_min_th)))
     carry0 = (st0, frame0, timestamps[0], jnp.eye(4))
     _, (poses, aux) = jax.lax.scan(
         step, carry0, (imgs_l[1:], imgs_r[1:], timestamps[1:]))
@@ -107,9 +113,13 @@ def run_vo_scan_chunk(cfg: Config, carry, imgs_l, imgs_r, timestamps):
 @partial(jax.jit, static_argnames=("cfg",))
 def init_scan_carry(cfg: Config, img_l, img_r, timestamp):
     """Frame-0 carry for :func:`run_vo_scan_chunk` (frame 0 is the first
-    keyframe; its features come back for map initialization)."""
+    keyframe; its features come back for map initialization). Detection
+    runs at the FAST floor threshold — the bootstrap-frame analog of the
+    reference's looser-gated extractInitialStereoFeatures
+    (stereoFrame.cpp:148-336)."""
     st0 = trk.initial_state(cfg)
-    frame0 = process_stereo_pair(img_l, img_r, cfg, st0.fast_th)
+    frame0 = process_stereo_pair(
+        img_l, img_r, cfg, jnp.asarray(float(cfg.tracking.fast_min_th)))
     return (st0, frame0, jnp.asarray(timestamp, jnp.float32),
             jnp.eye(4)), frame0
 
@@ -188,15 +198,17 @@ class VisualOdometry:
         self.t_base_w = np.asarray(t_base_w, np.float64).copy()
 
     def _frontend(self, img_l, img_r, log: TimeLog,
-                  timer: StageTimer) -> StereoFrame:
+                  timer: StageTimer, fast_th=None) -> StereoFrame:
         """Front-end hook: one fused device program, dispatched WITHOUT a
         host sync (production path — on a tunneled chip every device->host
         round trip costs ~25 ms, so the driver reads all of a frame's
         host-visible scalars in one batched transfer at the end of
         ``process``). TimedVO overrides with staged+blocking programs for
-        real per-stage TimeLog rows."""
+        real per-stage TimeLog rows. ``fast_th`` overrides the adaptive
+        threshold (the frame-0 bootstrap passes the FAST floor)."""
+        th = self.state.fast_th if fast_th is None else fast_th
         frame = process_stereo_pair(jnp.asarray(img_l), jnp.asarray(img_r),
-                                    self.cfg, self.state.fast_th)
+                                    self.cfg, th)
         log.time_pt_extract = timer.lap()
         return frame
 
@@ -215,7 +227,12 @@ class VisualOdometry:
         log = TimeLog()
         if self.state is None:
             self.state = trk.initial_state(self.cfg)
-        frame = self._frontend(img_l, img_r, log, timer)
+        # frame-0 bootstrap detects at the FAST floor (the analog of the
+        # reference's looser-gated extractInitialStereoFeatures,
+        # stereoFrame.cpp:148-336, used only by initialize())
+        boot_th = (jnp.asarray(float(self.cfg.tracking.fast_min_th))
+                   if self.prev_frame is None else None)
+        frame = self._frontend(img_l, img_r, log, timer, fast_th=boot_th)
 
         if self.prev_frame is None:
             # frame 0: initialize (StVO->initialize, plslam_mod.cpp:375-381)

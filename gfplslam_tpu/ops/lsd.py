@@ -246,6 +246,15 @@ def detect_lines(img: jax.Array, n_out: int = 512, rounds: int = 9,
                  max_width: float = 3.0) -> LineSegments:
     """[H, W] float32 image -> padded LineSegments (level-0 coordinates)."""
     h, w = img.shape
+    # the fragment top-K encodes pixel position in the low 19 bits of its
+    # block-reduce key (below); a larger image would silently alias
+    # recovered indices to wrong pixels — fail loudly instead. EuRoC
+    # (752x480 = 360960) and KITTI (1241x376 = 466616) both fit.
+    if h * w >= (1 << 19):
+        raise ValueError(
+            f"detect_lines supports h*w < 2^19 = 524288 pixels, got "
+            f"{h}x{w} = {h * w}; widen the fragment top-K key encoding "
+            "(quantized length << 19 | position) for larger cameras")
     sm = gaussian_blur(img, sigma=0.8, radius=2)
     gx, gy = sobel(sm)
     # Sobel has gain 8 vs the 2x2 LSD gradient; normalize magnitude so the

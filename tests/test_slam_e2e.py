@@ -90,3 +90,62 @@ def test_chunk_driver_matches_per_frame(cfg):
     n_kf_chunk = len(chunked.keyframe_trajectory)
     assert abs(n_kf_per - n_kf_chunk) <= max(3, n_kf_per // 3), \
         (n_kf_per, n_kf_chunk)
+
+
+def test_chunk_driver_epoch_timestamps(cfg):
+    """EuRoC timestamps are epoch-scale (~1.4e9 s); at float32 resolution
+    (128 s there) consecutive-frame dt rounds to 0 and the motion gate
+    rejects all real motion. The chunk driver must normalize on the host in
+    float64 so an epoch-based run reproduces the 0-based run exactly."""
+    n = 16
+    world = synthetic.make_world(n_frames=n, n_points=300, n_lines=40,
+                                 seed=11)
+    frames = [synthetic.render_frame(world, i, noise=1.0) for i in range(n)]
+    il = np.stack([f[0] for f in frames])
+    ir = np.stack([f[1] for f in frames])
+
+    runs = []
+    for base in (0.0, 1.403715273262e9):
+        s = SLAMSystem(cfg)
+        for st in range(0, n, 8):
+            s.process_chunk(il[st:st + 8], ir[st:st + 8],
+                            world.timestamps[st:st + 8] + base)
+        s.finish()
+        assert not s.vo.lost
+        runs.append(s)
+    t0 = runs[0].all_frame_trajectory
+    t1 = runs[1].all_frame_trajectory
+    np.testing.assert_allclose(t1, t0, atol=1e-5)
+    # frames after frame 0 were actually accepted (the epoch bug rejected
+    # every frame via the motion gate, leaving the trajectory at identity)
+    assert np.linalg.norm(t1[-1][:3, 3]) > 1e-3
+
+
+def test_run_sequence_uint8_matches_chunk_driver(cfg):
+    """run_sequence (uint8 camera bytes, double-buffered device staging,
+    equal-size scan chunks) is the same engine as process_chunk: identical
+    input bytes must give an equivalent trajectory and map."""
+    n = 17  # frame 0 + 2 chunks x 8
+    world = synthetic.make_world(n_frames=n, n_points=300, n_lines=40,
+                                 seed=11)
+    frames = [synthetic.render_frame(world, i, noise=1.0) for i in range(n)]
+    il = np.clip(np.round(np.stack([f[0] for f in frames])),
+                 0, 255).astype(np.uint8)
+    ir = np.clip(np.round(np.stack([f[1] for f in frames])),
+                 0, 255).astype(np.uint8)
+
+    a = SLAMSystem(cfg)
+    a.run_sequence(il, ir, world.timestamps, chunk=8)
+    a.finish()
+
+    b = SLAMSystem(cfg)
+    b.process_chunk(il[:9], ir[:9], world.timestamps[:9])
+    b.process_chunk(il[9:], ir[9:], world.timestamps[9:])
+    b.finish()
+
+    assert not a.vo.lost
+    assert len(a.vo.records) == n
+    np.testing.assert_allclose(a.all_frame_trajectory,
+                               b.all_frame_trajectory, atol=1e-5)
+    ate = ate_rmse(a.all_frame_trajectory, world.poses)
+    assert ate < 0.08, ate

@@ -66,3 +66,22 @@ def test_vo_timelog_rows(setup):
     vo.timelog.write(p)
     lines = open(p).read().strip().splitlines()
     assert len(lines) == 3  # header + 2 rows
+
+
+def test_vo_points_only_mode(setup):
+    """StvoParams.has_lines=False (Config::hasLines, config.h:46) must be a
+    real engine mode: LSD/LBD never trace, all line slots invalid, and the
+    points-only tracker still holds the trajectory."""
+    from dataclasses import replace
+    from gfplslam_tpu.config import StvoParams
+    cfg, world = setup
+    cfg_pt = replace(cfg, stvo=StvoParams(has_lines=False))
+    vo = VisualOdometry(cfg_pt)
+    for i in range(len(world.poses)):
+        img_l, img_r = synthetic.render_frame(world, i, noise=1.0)
+        vo.process(img_l, img_r, world.timestamps[i])
+    assert not vo.lost
+    assert all(r.n_ln == 0 for r in vo.records)
+    assert int(np.asarray(vo.prev_frame.lines.valid).sum()) == 0
+    rmse = ate_rmse(vo.trajectory, world.poses)
+    assert rmse < 0.08, f"points-only ATE {rmse}"
