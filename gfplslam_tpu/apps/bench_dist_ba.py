@@ -80,42 +80,71 @@ def main(argv=None):
     ap.add_argument("--lines", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also measure at 0.5x and 2x landmark counts "
+                         "(scaling claims need more than one problem size)")
     args = ap.parse_args(argv)
+
+    import statistics
 
     import jax
     from gfplslam_tpu.config import CameraParams
     from gfplslam_tpu.parallel import dist_ba
 
     cam = CameraParams()
-    prob = make_problem(args.kfs, args.points, args.lines, cam)
     n_dev = len(jax.devices())
     sizes = [d for d in (1, 2, 4, 8, 16) if d <= n_dev]
+    # landmark counts divisible by every mesh size (shard_problem pads
+    # otherwise, which would bias the comparison)
+    mults = [1.0] if not args.sweep else [0.5, 1.0, 2.0]
+    problems = [(int(args.points * m) // 16 * 16,
+                 int(args.lines * m) // 16 * 16) for m in mults]
 
-    results = {}
-    for nd in sizes:
-        mesh = dist_ba.make_mesh(nd)
-        sharded = dist_ba.shard_problem_by_landmark(prob, nd)
-        res = dist_ba.solve_ba_sharded(cam, sharded, mesh,
-                                       max_iters=args.iters)
-        jax.block_until_ready(res.kf_pose)
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
+    all_runs = {}
+    for n_pt, n_ln in problems:
+        prob = make_problem(args.kfs, n_pt, n_ln, cam, seed=args.seed)
+        results = {}
+        for nd in sizes:
+            mesh = dist_ba.make_mesh(nd)
+            sharded = dist_ba.shard_problem_by_landmark(prob, nd)
             res = dist_ba.solve_ba_sharded(cam, sharded, mesh,
                                            max_iters=args.iters)
             jax.block_until_ready(res.kf_pose)
-        dt = (time.perf_counter() - t0) / args.reps / args.iters * 1000
-        results[nd] = dt
-        print(f"{nd} device(s): {dt:.2f} ms/iter", flush=True)
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                res = dist_ba.solve_ba_sharded(cam, sharded, mesh,
+                                               max_iters=args.iters)
+                jax.block_until_ready(res.kf_pose)
+                samples.append((time.perf_counter() - t0)
+                               / args.iters * 1000)
+            results[nd] = statistics.median(samples)
+            print(f"[{n_pt}pt/{n_ln}ln] {nd} device(s): "
+                  f"{results[nd]:.2f} ms/iter (median of {args.reps})",
+                  flush=True)
+        all_runs[(n_pt, n_ln)] = results
 
+    # headline = the primary (1.0x) problem
+    results = all_runs[problems[len(problems) // 2 if args.sweep else 0]]
     base = results[sizes[0]]
     out = {
         "metric": "dist_ba_ms_per_iter",
         "problem": dict(kfs=args.kfs, points=args.points, lines=args.lines,
                         obs=int(args.kfs * (args.points + args.lines))),
+        "reps": args.reps, "seed": args.seed, "aggregation": "median",
         "ms_per_iter": {str(k): round(v, 3) for k, v in results.items()},
         "scaling_efficiency": {
             str(k): round(base / (v * k), 3) for k, v in results.items()},
     }
+    if args.sweep:
+        out["sweep"] = [
+            {"points": p, "lines": l,
+             "ms_per_iter": {str(k): round(v, 3) for k, v in r.items()},
+             "scaling_efficiency": {
+                 str(k): round(r[sizes[0]] / (v * k), 3)
+                 for k, v in r.items()}}
+            for (p, l), r in all_runs.items()]
     print(json.dumps(out))
     return out
 

@@ -36,39 +36,65 @@ def pack_bits(bits: np.ndarray) -> np.ndarray:
 def kmajority(desc: np.ndarray, k: int, iters: int = 10,
               seed: int = 0) -> np.ndarray:
     """Binary k-means with majority-vote centers (DBoW2's descriptor
-    clustering, TemplatedVocabulary.h initiateClusters/meanValue)."""
+    clustering, TemplatedVocabulary.h initiateClusters/meanValue).
+
+    Device-accelerated: assignment is the packed-popcount Hamming matrix
+    (ops/hamming) over row blocks, and the majority vote is ONE one-hot
+    matmul ``assign_onehot.T @ bits`` — the dense numpy broadcast the old
+    trainer used is O(N*k*256) bytes and infeasible past k~512."""
+    import jax
+    import jax.numpy as jnp
+    from gfplslam_tpu.ops.hamming import hamming_matrix
+
     rng = np.random.default_rng(seed)
-    bits = unpack_bits(desc)
-    centers = bits[rng.choice(len(bits), size=k, replace=len(bits) < k)]
-    for _ in range(iters):
-        # Hamming distances via bit arithmetic on unpacked bits
-        d = np.count_nonzero(bits[:, None, :] != centers[None, :, :], axis=2)
-        assign = d.argmin(1)
-        new_centers = centers.copy()
-        for c in range(k):
-            members = bits[assign == c]
-            if len(members):
-                new_centers[c] = (members.mean(0) > 0.5).astype(np.uint8)
-            else:
-                new_centers[c] = bits[rng.integers(len(bits))]
+    n = len(desc)
+    bits = jnp.asarray(unpack_bits(desc))                   # [N, 256] uint8
+    packed = jnp.asarray(desc)                              # [N, 8] uint32
+    centers = desc[rng.choice(n, size=k, replace=n < k)]    # packed [k, 8]
+
+    @jax.jit
+    def assign_block(block, cen):
+        return jnp.argmin(hamming_matrix(block, cen), axis=1)
+
+    @jax.jit
+    def majority(assign, reseed_bits):
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)   # [N, k]
+        counts = jnp.sum(onehot, axis=0)                        # [k]
+        sums = onehot.T @ bits.astype(jnp.float32)              # [k, 256]
+        maj = (sums * 2.0 > counts[:, None]).astype(jnp.uint8)
+        # empty clusters re-seed from random members
+        return jnp.where(counts[:, None] > 0, maj, reseed_bits), counts
+
+    block = 8192
+    assign = np.empty(n, np.int32)
+    for it in range(iters):
+        cen_dev = jnp.asarray(centers)
+        for s in range(0, n, block):
+            assign[s:s + block] = np.asarray(
+                assign_block(packed[s:s + block], cen_dev))
+        reseed_bits = jnp.asarray(unpack_bits(desc[rng.choice(n, size=k)]))
+        maj_bits, counts = majority(jnp.asarray(assign), reseed_bits)
+        new_centers = pack_bits(np.asarray(maj_bits))
         if np.array_equal(new_centers, centers):
             break
         centers = new_centers
-    return pack_bits(centers)
+    return centers
 
 
 def document_frequencies(vocab: np.ndarray, docs: list) -> np.ndarray:
     """[V] document frequencies: number of training frames whose descriptor
     set contains each word (DBoW2 computes idf from the training corpus and
     FREEZES it, TemplatedVocabulary.h:1066-1127 setNodeWeights)."""
-    vb = unpack_bits(vocab)
+    import jax.numpy as jnp
+    from gfplslam_tpu.ops.hamming import hamming_matrix
+
+    vb = jnp.asarray(vocab)
     df = np.zeros(len(vocab), np.int64)
     for d in docs:
         if not len(d):
             continue
-        bits = unpack_bits(d)
-        dist = np.count_nonzero(bits[:, None, :] != vb[None, :, :], axis=2)
-        words = np.unique(dist.argmin(1))
+        words = np.unique(np.asarray(
+            jnp.argmin(hamming_matrix(jnp.asarray(d), vb), axis=1)))
         df[words] += 1
     return df
 
@@ -95,6 +121,16 @@ def harvest_descriptors(args):
     specs = [(17, "forward", False), (41, "orbit", False),
              (73, "loop", False), (21, "loop", True), (55, "forward", True),
              (8, "forward", False), (99, "forward", False)]
+    if args.words >= 1024:
+        # large codebooks need a larger/more diverse corpus: ~16 scenes
+        # spanning every motion family and both render tiers (k-majority
+        # with fewer than ~10 members per word degenerates to memorized
+        # descriptors)
+        specs += [(s, m, tex)
+                  for s, m in [(5, "circuit"), (29, "circuit"),
+                               (61, "orbit"), (83, "loop"), (123, "forward"),
+                               (151, "orbit"), (203, "circuit")]
+                  for tex in (False, True)]
     worlds = [synthetic.make_world(n_frames=args.frames, seed=s, motion=m,
                                    n_points=400, n_lines=50,
                                    cam=cfg.camera, textured=tex)
