@@ -535,8 +535,18 @@ def optimize_pose_graph(kf_pose: jax.Array, kf_valid: jax.Array,
         dx = jnp.linalg.solve(hf, bf).reshape(k, 6)
         return x - jnp.where(free[:, None], dx, 0.0)
 
-    x = jax.lax.fori_loop(0, iters, lambda _, x: gn_step(x),
-                          jnp.zeros((k, 6)))
+    def cond(carry):
+        _, it, delta = carry
+        return (it < iters) & (delta > 1e-7)
+
+    def body(carry):
+        x, it, _ = carry
+        x_new = gn_step(x)
+        return x_new, it + 1, jnp.max(jnp.abs(x_new - x))
+
+    x, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((k, 6)), jnp.asarray(0, jnp.int32),
+                     jnp.asarray(jnp.inf)))
     return jax.vmap(lambda t, d: t @ se3.expmap_se3(d))(kf_pose, x)
 
 

@@ -29,12 +29,6 @@ LC_IDLE, LC_ACTIVE, LC_READY = 0, 1, 2
 
 
 @jax.jit
-def _take_frame(frames, i):
-    """Slice frame i out of a chunk's stacked per-frame pytree (device)."""
-    return jax.tree.map(lambda x: x[i], frames)
-
-
-@jax.jit
 def _pack_lc(cand, accepted, err, t_rel):
     """One [19] float32 array for the LC decision's host reads (single
     device->host transfer: cand, accepted, err, 4x4 t_rel)."""
@@ -201,6 +195,10 @@ class SLAMSystem:
             self._scan_carry = carry
             self._abs_prev = np.eye(4)       # absolute VO pose, last frame
             self._abs_prev_kf = np.eye(4)    # absolute VO pose, last KF
+            # device-resident mirror of _abs_prev_kf: keyframe mapping
+            # computes t_rel on device (mapping_step_chunk), so no per-KF
+            # 4x4 upload ever crosses the tunnel
+            self._abs_prev_kf_dev = jnp.eye(4)
             # frame 0 initializes the map (first keyframe)
             self.map = map_ops.initialize_map(self.cfg, self.map, frame0)
             self.loop_state = loop_ops.insert_kf_bow(
@@ -224,7 +222,7 @@ class SLAMSystem:
             jnp.asarray(ts_norm[start:], jnp.float32))
         self._scan_carry = carry
         packed_dev = vo_mod.pack_chunk_aux(self.cfg, poses, aux)
-        return packed_dev, frames, timestamps[start:]
+        return packed_dev, frames, poses, timestamps[start:]
 
     def _process_scanned(self, scanned) -> None:
         """Harvest one dispatched chunk: read the packed per-frame scalars
@@ -232,7 +230,10 @@ class SLAMSystem:
         the device-resident stacked features, and run the LC decisions."""
         if scanned is None:
             return
-        packed_dev, frames, ts_abs = scanned
+        # decisions for the PREVIOUS chunk's LC verifications first (their
+        # mapping programs retired while this chunk's scan ran)
+        self._drain_lc()
+        packed_dev, frames, poses, ts_abs = scanned
         packed = np.asarray(packed_dev)
 
         lc_queue = []   # (kf_idx, cand, verification): decided AFTER all
@@ -252,11 +253,9 @@ class SLAMSystem:
             ts_j = float(ts_abs[j])
             if is_kf and not self.vo.lost:
                 kf_idx = self._n_kf_host
-                t_rel = np.linalg.inv(self._abs_prev_kf) @ t_abs
-                frame_k = _take_frame(frames, j)
-                res = mapping.mapping_step(
-                    self.cfg, self.map, self.loop_state, frame_k,
-                    jnp.asarray(t_rel.astype(np.float32)),
+                res, self._abs_prev_kf_dev = mapping.mapping_step_chunk(
+                    self.cfg, self.map, self.loop_state, frames, j, poses,
+                    self._abs_prev_kf_dev,
                     run_ba=self.run_local_ba,
                     run_lc=self.run_loop_closure,
                     cull_redundant=self.cull_redundant_kfs)
@@ -281,14 +280,27 @@ class SLAMSystem:
             self.vo.frame_idx += 1
             self._abs_prev = t_abs
         if lc_queue:
-            # ONE device->host transfer for the whole chunk's LC decisions
-            # (a per-KF _pack_lc read costs a full tunnel round trip each —
-            # ~200 ms/chunk measured at 8 KFs/chunk)
-            rows = np.asarray(jnp.stack([
+            # stack the chunk's LC decisions into ONE device array but DEFER
+            # the host read to the next chunk boundary: reading now would
+            # block the host on this chunk's whole mapping queue (per-chunk
+            # drain measured ~1 s at 8 KFs/chunk), idling the device between
+            # chunks. Decisions land one chunk late — the async-mapping
+            # semantics the driver already documents.
+            rows_dev = jnp.stack([
                 _pack_lc(jnp.asarray(c), v.accepted, v.err, v.t_rel)
-                for _, c, v in lc_queue]))
-            for (kf_idx, _, _), row in zip(lc_queue, rows):
-                self._lc_decide_row(row, kf_idx)
+                for _, c, v in lc_queue])
+            self._lc_deferred = ([kf for kf, _, _ in lc_queue], rows_dev)
+
+    def _drain_lc(self) -> None:
+        """Read + apply a deferred chunk's LC decisions (one transfer)."""
+        d = getattr(self, "_lc_deferred", None)
+        if d is None:
+            return
+        self._lc_deferred = None
+        kf_ids, rows_dev = d
+        rows = np.asarray(rows_dev)
+        for kf_idx, row in zip(kf_ids, rows):
+            self._lc_decide_row(row, kf_idx)
 
     def run_sequence(self, imgs_l, imgs_r, timestamps,
                      chunk: int = 24) -> None:
@@ -486,6 +498,7 @@ class SLAMSystem:
         device is available, dense single-chip otherwise."""
         if self.async_mapping:
             self._harvest_deferred()
+        self._drain_lc()
         if self.lc_pending:
             self._close_loop()
         self.counters["snapshot_features_over_cap"] = int(
