@@ -141,9 +141,14 @@ def main(argv=None):
         # streaming chunk driver (SLAMSystem.process_chunk): one tracking
         # dispatch + one host transfer per N frames
         buf = []
+        first_chunk = True
         for ts, il, ir in frames():
             buf.append((float(ts), il, ir))
-            if len(buf) >= args.chunk:
+            # the first chunk carries one extra frame (frame 0 is consumed
+            # by map init) so every scan is exactly args.chunk long — ONE
+            # compiled scan shape for the whole sequence
+            if len(buf) >= args.chunk + (1 if first_chunk else 0):
+                first_chunk = False
                 engine.process_chunk(
                     np.stack([b[1] for b in buf]),
                     np.stack([b[2] for b in buf]),

@@ -185,7 +185,12 @@ class CapacityParams:
     n_map_ln: int = 8192    # landmark pool: lines
     n_obs_pt: int = 4096    # local-BA point observation slots
     n_obs_ln: int = 2048    # local-BA line observation slots
-    vocab_k: int = 256      # bag-of-words vocabulary leaves per family
+    # bag-of-words vocabulary leaves per family. 4096 trained words ship in
+    # data/vocab_synth4096.npz; retrieval AP on a 241-frame 3-lap aliased
+    # circuit: 0.73 vs 0.39 at 256 words (VOCAB_PR.json) — small flat
+    # codebooks cannot discriminate revisits at map scale (the reference
+    # relies on ~1e5-leaf DBoW2 trees, TemplatedVocabulary.h:1066-1127)
+    vocab_k: int = 4096
     fast_cand_per_level: int = 4096  # FAST candidate cap per pyramid level
 
 

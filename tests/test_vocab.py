@@ -146,3 +146,16 @@ def test_frozen_idf_scores_are_epoch_consistent():
 
     assert s_early > 0, s_early
     np.testing.assert_allclose(s_late, s_early, rtol=1e-5)
+
+
+def test_shipped_4096_vocab_is_default_scale():
+    """The default capacity ships the 4096-word trained codebook (retrieval
+    AP 0.73 vs 0.39 at 256 words on the 3-lap aliased circuit —
+    VOCAB_PR.json); its frozen idf must load with it."""
+    from gfplslam_tpu.config import CapacityParams
+    assert CapacityParams().vocab_k == 4096
+    vp, vl = loop_ops.active_vocab(4096)
+    assert vp.shape == (4096, 8) and vl.shape == (4096, 8)
+    assert 4096 in loop_ops._TRAINED, "data/vocab_synth4096.npz not loaded"
+    idf = loop_ops.active_idf(4096)
+    assert idf is not None and np.isfinite(idf[0]).all()
