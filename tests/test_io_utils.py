@@ -136,3 +136,98 @@ def test_gazebo_loader(tmp_path):
     assert abs(seq.cam.fx - 554.25626) < 1e-5
     assert abs(seq.cam.baseline - 0.1) < 1e-9
     assert abs(seq.timestamps[1] - 0.05) < 1e-6
+
+
+def test_euroc_asl_tree_end_to_end(tmp_path):
+    """Full real-dataset ingestion path on a synthetic ASL tree: epoch-ns
+    PNG filenames -> load_euroc (pairing + Bouguet rectification + GT csv)
+    -> native prefetching decoder -> streaming chunk driver with
+    EPOCH-SCALE timestamps (the ADVICE-r4 path that silently lost track
+    when absolute times were cast to float32)."""
+    import cv2
+    import jax.numpy as jnp
+    from gfplslam_tpu.config import (CameraParams, CapacityParams, Config,
+                                     OrbParams)
+    from gfplslam_tpu.io import datasets, native_loader, synthetic
+    from gfplslam_tpu.models.slam import SLAMSystem
+    from gfplslam_tpu.ops.camera import stereo_rectify
+    from gfplslam_tpu.utils.trajectory import ate_rmse
+
+    # small pinhole rig, zero distortion, pure-baseline extrinsics
+    calib = dict(
+        kl=np.array([[217.6, 0, 183.7], [0, 217.6, 126.1], [0, 0, 1.0]]),
+        kr=np.array([[217.6, 0, 183.7], [0, 217.6, 126.1], [0, 0, 1.0]]),
+        dl=np.zeros(5), dr=np.zeros(5),
+        r=np.eye(3), t=np.array([0.11, 0.0, 0.0]),
+        width=376, height=240, equidistant=False)
+    maps = stereo_rectify(calib["kl"], calib["dl"], calib["kr"], calib["dr"],
+                          calib["r"], calib["t"], 376, 240)
+    cam = maps.cam
+
+    n = 12
+    world = synthetic.make_world(n_frames=n, n_points=300, n_lines=40,
+                                 seed=11, cam=cam)
+    base_ns = 1403715273262140000  # MH_01-style epoch nanoseconds
+    cam0 = tmp_path / "mav0" / "cam0" / "data"
+    cam1 = tmp_path / "mav0" / "cam1" / "data"
+    cam0.mkdir(parents=True)
+    cam1.mkdir(parents=True)
+    gt_dir = tmp_path / "mav0" / "state_groundtruth_estimate0"
+    gt_dir.mkdir(parents=True)
+    gt_rows = ["#ts,x,y,z,qw,qx,qy,qz"]
+    for i in range(n):
+        il, ir = synthetic.render_frame(world, i, noise=1.0)
+        ns = base_ns + int(world.timestamps[i] * 1e9)
+        u8 = lambda x: np.clip(np.round(x), 0, 255).astype(np.uint8)
+        cv2.imwrite(str(cam0 / f"{ns}.png"), u8(il))
+        cv2.imwrite(str(cam1 / f"{ns}.png"), u8(ir))
+        p = world.poses[i]
+        tr = np.trace(p[:3, :3])
+        qw = np.sqrt(max(0.0, 1 + tr)) / 2
+        qx = (p[2, 1] - p[1, 2]) / (4 * qw)
+        qy = (p[0, 2] - p[2, 0]) / (4 * qw)
+        qz = (p[1, 0] - p[0, 1]) / (4 * qw)
+        gt_rows.append(f"{ns},{p[0,3]},{p[1,3]},{p[2,3]},{qw},{qx},{qy},{qz}")
+    (gt_dir / "data.csv").write_text("\n".join(gt_rows))
+
+    seq = datasets.load_euroc(str(tmp_path), calib=calib)
+    assert len(seq.paths_l) == n
+    assert seq.gt_poses is not None and len(seq.gt_poses) == n
+    assert seq.timestamps[0] > 1e9  # really epoch-scale
+
+    cfg = Config(
+        cap=CapacityParams(n_pt=256, n_ln=128, n_kf_window=4, n_kf_max=32,
+                           n_map_pt=2048, n_map_ln=512,
+                           n_obs_pt=1024, n_obs_ln=256, vocab_k=128),
+        orb=OrbParams(nlevels=2), camera=seq.cam)
+    slam = SLAMSystem(cfg)
+    try:
+        loader = native_loader.StereoLoader(
+            seq.paths_l, seq.paths_r, seq.cam.width, seq.cam.height,
+            maps=(maps.map_x_l, maps.map_y_l, maps.map_x_r, maps.map_y_r))
+        imgs = [(il, ir) for _, il, ir in loader]
+    except RuntimeError:
+        # native loader unbuilt in this environment: decode via cv2 +
+        # device remap (the same rectification path run_slam uses)
+        from gfplslam_tpu.ops.camera import rectify_pair
+        imgs = []
+        for pl, pr in zip(seq.paths_l, seq.paths_r):
+            pair = jnp.asarray(np.stack(
+                [cv2.imread(pl, cv2.IMREAD_GRAYSCALE).astype(np.float32),
+                 cv2.imread(pr, cv2.IMREAD_GRAYSCALE).astype(np.float32)]))
+            rec = np.asarray(rectify_pair(pair, maps))
+            imgs.append((rec[0], rec[1]))
+    il = np.stack([a for a, _ in imgs])
+    ir = np.stack([b for _, b in imgs])
+    slam.run_sequence(il, ir, seq.timestamps, chunk=5)
+    slam.finish()
+    assert not slam.vo.lost
+    assert len(slam.vo.records) == n
+    est = slam.all_frame_trajectory
+    # GT association + ATE: the loaded epoch timestamps must line up
+    keep, gtp = datasets.associate_gt(
+        np.asarray([r.timestamp for r in slam.vo.records]),
+        seq.gt_timestamps, seq.gt_poses)
+    assert len(keep) == n
+    rmse = ate_rmse(est[keep], gtp)
+    assert rmse < 0.1, rmse
