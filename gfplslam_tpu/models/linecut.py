@@ -197,7 +197,7 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
     j0, d0 = factors(r0, r1)
     steps = jnp.asarray(_NEIGHBOR_STEPS * step)
 
-    def cand_metrics_logdet(total, j_own, d_own, c0, c1):
+    def cand_metrics_logdet(total, j_own, d_own, js, ds):
         """Rank-4 determinant lemma against the SHARED total information:
         logdet(total - own + cand) = logdet(total)
         + logdet(I4 + D U^T total^-1 U) with U = [j_own | j_cand] ([6, 4])
@@ -207,8 +207,6 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         determinant. Scores differ from the per-line form only by the
         common logdet(total) shift, which cancels in the argmax."""
         l = jnp.linalg.cholesky(total + 1e-8 * jnp.eye(6))      # [6,6]
-        js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
-            c0, c1)                                             # [M,9,6,2]
         u = jnp.concatenate([
             jnp.broadcast_to(j_own[:, None], js.shape), js], -1)  # [M,9,6,4]
         d4 = jnp.concatenate([
@@ -222,9 +220,7 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         val = jnp.where(det > 0, jnp.log(jnp.maximum(det, 1e-30)), -jnp.inf)
         return jnp.where(jnp.isfinite(val), val, -jnp.inf)
 
-    def cand_metrics_mineig(rest, c0, c1):
-        js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
-            c0, c1)
+    def cand_metrics_mineig(rest, js, ds):
         cand_infos = info_of(js, ds)                          # [M,9,6,6]
         return jax.vmap(jax.vmap(_min_eig))(rest[:, None] + cand_infos)
 
@@ -238,12 +234,16 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         c1 = jnp.concatenate([r1[:, None], r1[:, None] + steps[None, :, 1]], 1)
         feas = ((c0 + c1 <= 1.0) & (c0 >= rng_lo) & (c0 <= rng_hi)
                 & (c1 >= rng_lo) & (c1 <= rng_hi))
+        # candidate factors ONCE per iteration; the chosen move's (j, d) are
+        # selected from them below instead of a second closed-form pass
+        js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
+            c0, c1)                                           # [M,9,6,2]
         if use_logdet:
             cand_metric = cand_metrics_logdet(info_sum, j_cur, d_cur,
-                                              c0, c1)         # [M,9]
+                                              js, ds)         # [M,9]
         else:
             rest = info_sum[None] - info_of(j_cur, d_cur)
-            cand_metric = cand_metrics_mineig(rest, c0, c1)
+            cand_metric = cand_metrics_mineig(rest, js, ds)
         cand_metric = jnp.where(feas & lns.valid[:, None], cand_metric,
                                 -jnp.inf)
         base = cand_metric[:, 0]
@@ -252,7 +252,10 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
         take = best_m > base + 1e-12
         nr0 = jnp.where(take, jnp.take_along_axis(c0, best[:, None], 1)[:, 0], r0)
         nr1 = jnp.where(take, jnp.take_along_axis(c1, best[:, None], 1)[:, 0], r1)
-        nj, nd = factors(nr0, nr1)
+        sel = best[:, None, None, None]
+        nj = jnp.take_along_axis(js, sel, axis=1)[:, 0]
+        nd = jnp.take_along_axis(ds, jnp.broadcast_to(
+            best[:, None, None], (best.shape[0], 1, 2)), axis=1)[:, 0]
         nj = jnp.where(take[:, None, None], nj, j_cur)
         nd = jnp.where(take[:, None], nd, d_cur)
         return nr0, nr1, nj, nd, it + 1, jnp.any(take)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from gfplslam_tpu.config import CameraParams, OptimizerParams
 from gfplslam_tpu.utils import se3
+from gfplslam_tpu.utils.linalg import chol_solve_small
 from gfplslam_tpu.utils.robust import masked_stdv_mad
 
 
@@ -160,8 +161,10 @@ def gauss_newton(cam: CameraParams, dt0: jax.Array, pts: PointMatches,
                 | (err < opt.min_error))
         # LDLT-equivalent 6x6 solve; tiny Tikhonov guard keeps it finite when
         # H is singular (reference relies on Eigen returning garbage then the
-        # is_finite gate catching it; we keep the gate too)
-        dx = jnp.linalg.solve(h + 1e-12 * jnp.eye(6, dtype=h.dtype), g)
+        # is_finite gate catching it; we keep the gate too). Unrolled scalar
+        # Cholesky fuses into the loop body (a general linalg.solve is its
+        # own kernel per iteration).
+        dx = chol_solve_small(h + 1e-12 * jnp.eye(6, dtype=h.dtype), g)
         new_dt = dt @ se3.inverse_se3(se3.expmap_se3(dx))
         small = jnp.linalg.norm(dx) < 1e-7
         dt = jnp.where(done | stop, dt, new_dt)

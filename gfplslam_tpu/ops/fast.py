@@ -114,15 +114,18 @@ def select_keypoints(score: jax.Array, n_out: int, cell: int = 32,
     gh, gw = ph // cell, pw // cell
     cells = s.reshape(gh, cell, gw, cell).transpose(0, 2, 1, 3).reshape(gh * gw, cell * cell)
     # per-cell top-k as k rounds of (argmax, suppress): k is tiny, so this
-    # beats a row-wise top_k (which lowers to a full 1024-wide sort)
+    # beats a row-wise top_k (which lowers to a full 1024-wide sort). The
+    # suppression is a fused one-hot select — a row scatter here serializes
+    # on TPU.
     top_s_l, top_i_l = [], []
     work = cells
+    cols = jnp.arange(cells.shape[1])[None, :]
     for _ in range(per_cell):
         i = jnp.argmax(work, axis=1)
-        v = jnp.take_along_axis(work, i[:, None], axis=1)[:, 0]
+        v = jnp.max(work, axis=1)
         top_s_l.append(v)
         top_i_l.append(i)
-        work = work.at[jnp.arange(work.shape[0]), i].set(-jnp.inf)
+        work = jnp.where(cols == i[:, None], -jnp.inf, work)
     top_s = jnp.stack(top_s_l, axis=1)                     # [gh*gw, per_cell]
     top_i = jnp.stack(top_i_l, axis=1)
     # cell-local index -> global pixel coords

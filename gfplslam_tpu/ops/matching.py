@@ -29,8 +29,10 @@ def best2(d: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-row best index, best dist, second-best dist of [N, M]."""
     dd = d.astype(jnp.float32)
     i1 = jnp.argmin(dd, axis=1)
-    d1 = jnp.take_along_axis(dd, i1[:, None], axis=1)[:, 0]
-    masked = dd.at[jnp.arange(d.shape[0]), i1].set(jnp.inf)
+    d1 = jnp.min(dd, axis=1)
+    # fused one-hot suppression (a row scatter serializes on TPU)
+    masked = jnp.where(jnp.arange(d.shape[1])[None, :] == i1[:, None],
+                       jnp.inf, dd)
     d2 = jnp.min(masked, axis=1)
     return i1, d1, d2
 
