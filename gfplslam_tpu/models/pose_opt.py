@@ -29,7 +29,6 @@ import jax.numpy as jnp
 
 from gfplslam_tpu.config import CameraParams, OptimizerParams
 from gfplslam_tpu.utils import se3
-from gfplslam_tpu.utils.linalg import chol_solve_small
 from gfplslam_tpu.utils.robust import masked_stdv_mad
 
 
@@ -161,10 +160,13 @@ def gauss_newton(cam: CameraParams, dt0: jax.Array, pts: PointMatches,
                 | (err < opt.min_error))
         # LDLT-equivalent 6x6 solve; tiny Tikhonov guard keeps it finite when
         # H is singular (reference relies on Eigen returning garbage then the
-        # is_finite gate catching it; we keep the gate too). Unrolled scalar
-        # Cholesky fuses into the loop body (a general linalg.solve is its
-        # own kernel per iteration).
-        dx = chol_solve_small(h + 1e-12 * jnp.eye(6, dtype=h.dtype), g)
+        # is_finite gate catching it; we keep the gate too). NOTE: an
+        # unrolled unpivoted f32 Cholesky here is NOT safe — H entries are
+        # fx^2-scale (~1e6-1e8) and f32 round-off makes ~6% of real GN
+        # Hessians indefinite-by-epsilon, which turned loop-closure
+        # verifications into NaN rejections (measured: the pivoted solve
+        # costs ~0.5 ms for all 15 iterations, not worth the risk).
+        dx = jnp.linalg.solve(h + 1e-12 * jnp.eye(6, dtype=h.dtype), g)
         new_dt = dt @ se3.inverse_se3(se3.expmap_se3(dx))
         small = jnp.linalg.norm(dx) < 1e-7
         dt = jnp.where(done | stop, dt, new_dt)
