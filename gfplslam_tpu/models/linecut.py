@@ -99,6 +99,67 @@ def line_info_factors(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
     return jnp.stack([js, je], axis=-1), d
 
 
+def line_info_factors_batch(cam: CameraParams, dt: jax.Array,
+                            sp3d: jax.Array, ep3d: jax.Array,
+                            cov_s: jax.Array, cov_e: jax.Array,
+                            le_obs: jax.Array, r0: jax.Array, r1: jax.Array
+                            ) -> tuple[jax.Array, jax.Array]:
+    """Structure-of-arrays form of `line_info_factors` over a flat batch:
+    identical math, but every intermediate is a [B] component vector instead
+    of a vmapped [B, 2..6]-trailing tensor. The trailing dims of the vmapped
+    form (2/3/6) use 2-5% of the 128-lane VPU registers they occupy; with the
+    batch in the lane dimension the same arithmetic runs at full width (the
+    cut search evaluates B = n_ln_match*9 = 4608 candidates per iteration).
+    Returns (j [B, 6, 2], d [B, 2]); assembled only at the boundary so the
+    rank-4 scorer's einsum/solve code is unchanged."""
+    rot = dt[:3, :3]
+    tr = dt[:3, 3]
+    lx, ly = le_obs[:, 0], le_obs[:, 1]
+
+    def lerp3(a, b, r):
+        return [(1 - r) * a[:, k] + r * b[:, k] for k in range(3)]
+
+    def cov_mix(ca, cb, ra, rb):
+        # (1-ra)^2 * ca + rb^2 * cb, as the 6 unique symmetric components
+        wa, wb = (1 - ra) ** 2, rb ** 2
+        return {k: wa * ca[:, i, j] + wb * cb[:, i, j]
+                for k, (i, j) in (("00", (0, 0)), ("01", (0, 1)),
+                                  ("02", (0, 2)), ("11", (1, 1)),
+                                  ("12", (1, 2)), ("22", (2, 2)))}
+
+    def endpoint(p, c):
+        # p: 3 x [B] prev-frame point; c: dict of 6 cov components [B]
+        x = rot[0, 0] * p[0] + rot[0, 1] * p[1] + rot[0, 2] * p[2] + tr[0]
+        y = rot[1, 0] * p[0] + rot[1, 1] * p[1] + rot[1, 2] * p[2] + tr[1]
+        z = rot[2, 0] * p[0] + rot[2, 1] * p[1] + rot[2, 2] * p[2] + tr[2]
+        iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        iz2 = iz * iz
+        # b = (l . J_proj) @ rot, components b_m = lx*a0m + ly*a1m
+        b = [lx * (cam.fx * iz * rot[0, m] - cam.fx * x * iz2 * rot[2, m])
+             + ly * (cam.fy * iz * rot[1, m] - cam.fy * y * iz2 * rot[2, m])
+             for m in range(3)]
+        cov_r = (b[0] * b[0] * c["00"] + b[1] * b[1] * c["11"]
+                 + b[2] * b[2] * c["22"]
+                 + 2.0 * (b[0] * b[1] * c["01"] + b[0] * b[2] * c["02"]
+                          + b[1] * b[2] * c["12"]))
+        # _residual_jac components (same closed form, homog_th=1e-7)
+        fgz2 = cam.fx / jnp.maximum(1e-7, z * z)
+        j = [fgz2 * lx * z,
+             fgz2 * ly * z,
+             -fgz2 * (x * lx + y * ly),
+             -fgz2 * (x * y * lx + y * y * ly + z * z * ly),
+             fgz2 * (x * x * lx + z * z * lx + x * y * ly),
+             fgz2 * (x * z * ly - y * z * lx)]
+        return j, cov_r
+
+    js, cs = endpoint(lerp3(sp3d, ep3d, r0), cov_mix(cov_s, cov_e, r0, r0))
+    je, ce = endpoint(lerp3(ep3d, sp3d, r1), cov_mix(cov_e, cov_s, r1, r1))
+    d = jnp.stack([1.0 / jnp.maximum(cs, 1e-12),
+                   1.0 / jnp.maximum(ce, 1e-12)], axis=-1)
+    j = jnp.stack([jnp.stack(js, axis=-1), jnp.stack(je, axis=-1)], axis=-1)
+    return j, d
+
+
 def pose_info_line(cam: CameraParams, dt: jax.Array, sp3d: jax.Array,
                    ep3d: jax.Array, cov_s: jax.Array, cov_e: jax.Array,
                    le_obs: jax.Array, r0: jax.Array, r1: jax.Array
@@ -175,14 +236,28 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
     :1618-1764). ``dt`` = T_curr<-prev."""
     m = lns.sp3d.shape[0]
 
-    factors_fn = jax.vmap(
-        lambda sp, ep, cs, ce, le, r0, r1: line_info_factors(
-            cam, dt, sp, ep, cs, ce, le, r0, r1))
-
     def factors(r0, r1):
-        j, d = factors_fn(lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs,
-                          r0, r1)
-        d = jnp.where(lns.valid[:, None], d, 0.0)
+        """Candidate factors via the lane-batched component form.
+        ``r0``/``r1``: [M] (current ratios) or [M, C] (candidate grid) —
+        the candidate axis is flattened into the batch so every evaluation
+        runs at full VPU width (see `line_info_factors_batch`)."""
+        if r0.ndim == 1:
+            j, d = line_info_factors_batch(
+                cam, dt, lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs,
+                r0, r1)
+            return j, jnp.where(lns.valid[:, None], d, 0.0)
+        mm, cc = r0.shape
+
+        def rep(a):
+            return jnp.broadcast_to(
+                a[:, None], (mm, cc) + a.shape[1:]
+            ).reshape((mm * cc,) + a.shape[1:])
+
+        j, d = line_info_factors_batch(
+            cam, dt, rep(lns.sp3d), rep(lns.ep3d), rep(cov_s), rep(cov_e),
+            rep(lns.le_obs), r0.reshape(-1), r1.reshape(-1))
+        j = j.reshape(mm, cc, 6, 2)
+        d = jnp.where(lns.valid[:, None, None], d.reshape(mm, cc, 2), 0.0)
         return j, d
 
     def info_of(j, d):
@@ -236,8 +311,7 @@ def cut_lines(cam: CameraParams, dt: jax.Array, lns: LineMatches,
                 & (c1 >= rng_lo) & (c1 <= rng_hi))
         # candidate factors ONCE per iteration; the chosen move's (j, d) are
         # selected from them below instead of a second closed-form pass
-        js, ds = jax.vmap(lambda a, b: factors(a, b), in_axes=1, out_axes=1)(
-            c0, c1)                                           # [M,9,6,2]
+        js, ds = factors(c0, c1)                              # [M,9,6,2]
         if use_logdet:
             cand_metric = cand_metrics_logdet(info_sum, j_cur, d_cur,
                                               js, ds)         # [M,9]

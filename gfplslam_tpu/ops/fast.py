@@ -31,8 +31,25 @@ FAST_CIRCLE = np.array([
 ARC_LEN = 9  # FAST-9
 
 
-def fast_score_map(img: jax.Array, threshold: jax.Array) -> jax.Array:
+def fast_score_map(img: jax.Array, threshold: jax.Array,
+                   use_pallas: bool | None = None) -> jax.Array:
     """Per-pixel FAST-9 corner score (0 where not a corner). [H, W] float32.
+
+    ``use_pallas=None`` (default) selects the fused Pallas kernel
+    (`ops/pallas/fast_pl.py`) on TPU backends — same arithmetic, tile-
+    resident instead of 16 rolled HBM copies — and this XLA path elsewhere.
+    """
+    if use_pallas is None:
+        from gfplslam_tpu.ops.hamming import _tpu_backend
+        use_pallas = _tpu_backend()
+    if use_pallas:
+        from gfplslam_tpu.ops.pallas.fast_pl import fast_score_map_pallas
+        return fast_score_map_pallas(img, threshold)
+    return fast_score_map_xla(img, threshold)
+
+
+def fast_score_map_xla(img: jax.Array, threshold: jax.Array) -> jax.Array:
+    """XLA reference formulation of the score map (CPU tests / fallback).
 
     ``threshold`` may be a traced scalar — the adaptive-FAST loop
     (stereoFrameHandler.cpp:864-922) retunes it at runtime without recompiling.

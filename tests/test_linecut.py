@@ -105,3 +105,30 @@ def test_apply_cut_interpolates(rng):
     np.testing.assert_allclose(np.asarray(out.sp3d[0]), expect, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out.sp3d[1]),
                                np.asarray(lns.sp3d[1]))
+
+
+def test_batched_factors_match_closed_form(rng):
+    """`line_info_factors_batch` (the lane-batched SoA form the cut search
+    runs on) must agree with the per-line closed form `line_info_factors`
+    for random geometry, ratios, and anisotropic covariances."""
+    import jax
+    from gfplslam_tpu.utils import se3
+
+    cam, lns, _, _ = make_lines(rng, m=16)
+    a = rng.normal(0, 0.1, (16, 3, 3)).astype(np.float32)
+    cov_s = jnp.asarray(a @ a.transpose(0, 2, 1) + 1e-4 * np.eye(3))
+    a = rng.normal(0, 0.1, (16, 3, 3)).astype(np.float32)
+    cov_e = jnp.asarray(a @ a.transpose(0, 2, 1) + 1e-4 * np.eye(3))
+    dt = se3.expmap_se3(jnp.asarray(rng.normal(0, 0.1, 6)))
+    r0 = jnp.asarray(rng.uniform(0, 0.45, 16).astype(np.float32))
+    r1 = jnp.asarray(rng.uniform(0, 0.45, 16).astype(np.float32))
+
+    jv, dv = jax.vmap(
+        lambda s, e, c1, c2, l, a_, b_: linecut.line_info_factors(
+            cam, dt, s, e, c1, c2, l, a_, b_))(
+        lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs, r0, r1)
+    jb, db = linecut.line_info_factors_batch(
+        cam, dt, lns.sp3d, lns.ep3d, cov_s, cov_e, lns.le_obs, r0, r1)
+    np.testing.assert_allclose(np.asarray(jb), np.asarray(jv),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(dv), rtol=2e-4)
